@@ -1,0 +1,163 @@
+"""Typed configuration for the whole pipeline.
+
+Single source of truth replacing the reference's three config layers:
+CLI positional args (ref: BasicAPI.cpp:1169-1205), the OpenCV YAML
+``GlobalParameters`` (ref: BasicAPI.cpp:41-72, settings.yaml), the 13-field
+``calib.txt`` (ref: BasicAPI.cpp:1108-1133), and the hard-coded chisel/MRF/atlas
+constants (ref: MobileFusion.h:214-233, TexMap.h:54-55, Atlas.h:29-31).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole camera intrinsics (ref: MultiViewGeometry.h:28-49 CameraPara,
+    open_chisel/camera/PinholeCamera.h:33-63)."""
+
+    width: int = 640
+    height: int = 480
+    fx: float = 525.0
+    fy: float = 525.0
+    cx: float = 319.5
+    cy: float = 239.5
+    depth_scale: float = 5000.0       # TUM depth PNG → meters divisor
+    near_plane: float = 0.01          # ref: MobileFusion.h:228 nearPlaneDist
+    far_plane: float = 3.0            # ref: MobileFusion.h:206 farPlaneDist default
+    # radial/tangential distortion (calib.txt fields 8-12; usually 0 for TUM)
+    d0: float = 0.0
+    d1: float = 0.0
+    d2: float = 0.0
+    d3: float = 0.0
+    d4: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackingConfig:
+    """SLAM front-end knobs (ref: settings.yaml, GlobalParameters
+    MultiViewGeometry.h:51-78)."""
+
+    max_features: int = 1000          # settings.yaml max_feature_num
+    max_features_pad: int = 1024      # static padded keypoint capacity
+    pyramid_levels: int = 8           # ref: ORBextractor(…, 8 levels)
+    pyramid_scale: float = 1.2
+    fast_threshold: float = 20.0      # ref: iniThFAST=20
+    descriptor_bits: int = 256
+    hamming_threshold: int = 50       # settings.yaml hamming_distance_threshold
+    ransac_iterations: int = 400      # settings.yaml ransac_maximum_iterations
+    reproj_3d_threshold: float = 0.01  # settings.yaml reprojection_error_3d_threshold
+    reproj_2d_threshold: float = 6.0   # settings.yaml reprojection_error_2d_threshold
+    minimum_disparity: float = 0.1     # keyframe promotion disparity gate
+    scale_change_ratio: float = 0.4    # ref: GCSLAM.cpp:315-327 keyframe decision
+    max_tracking_failures: int = 3     # consecutive failures forcing keyframe
+    max_candidates: int = 5            # settings.yaml maximum_keyframe_match_num
+    salient_score_threshold: float = 1.5
+    use_fine_search: bool = True
+    max_matches_pad: int = 1024        # static padded correspondence capacity
+    outlier_filter_rounds: int = 5     # ref: MultiViewGeometry.cpp:589-593
+    gn_iterations: int = 6             # Huber GN refinement iterations
+    huber_delta: float = 0.008         # Huber norm threshold for 3D residuals
+    min_matches: int = 20              # minimum inliers to accept registration
+    keyframe_min_distance: int = 4     # settings.yaml keyframe_minimum_distance
+    blur_threshold: float = 3.0        # ref: BasicAPI.cpp:1256-1266 Laplacian gate
+
+
+@dataclasses.dataclass(frozen=True)
+class BAConfig:
+    """FastBA / pose-graph optimization (ref: MultiViewGeometry.cpp:915-1217)."""
+
+    gn_rounds: int = 3                 # ref: optimizeKeyFrameMapRobust 3× GN
+    gn_iterations_per_round: int = 4
+    huber_delta: float = 0.008
+    rollback_error_growth: float = 1.05  # rollback if error ↑ >5% (ref :1165-1205)
+    levenberg_lambda: float = 1e-6       # diagonal damping for the dense solve
+    max_keyframes: int = 512             # static pose-array capacity
+    max_edges: int = 4096                # static edge capacity
+
+
+@dataclasses.dataclass(frozen=True)
+class TSDFConfig:
+    """Chunked TSDF volume (ref: MobileFusion.h:214-233, open_chisel)."""
+
+    voxel_resolution: float = 0.02     # meters (CLI arg, 0.005-0.04 range)
+    chunk_size: int = 8                # 8³ voxels per chunk
+    capacity: int = 8192               # chunk slot pool size (static)
+    # Quadratic truncator coefficients: trunc(z) = scale*(q*z² + l*z + c)
+    # ref: MobileFusion.h:215-218
+    truncation_quad: float = 0.0019
+    truncation_linear: float = 0.00152
+    truncation_const: float = 0.001504
+    truncation_scale: float = 6.0
+    integration_weight: float = 1.0    # ConstantWeighter(1)
+    use_carving: bool = True
+    carving_dist: float = 0.05
+    min_weight: float = 0.5            # weight below which voxel resets
+    color_band_pad: float = 0.01       # color update band ±(res·√3/2 + 0.01)
+    color_saturation: float = 120.0    # accumulator rescale threshold (÷4)
+    max_update_chunks: int = 2048      # static per-frame intersect-chunk budget
+    local_frames_per_keyframe: int = 6  # depth-only local frames integrated
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Incremental marching cubes (ref: ChunkManager.cpp:595-1004)."""
+
+    max_mesh_chunks: int = 2048        # static per-cycle remesh budget
+    vertex_budget: int = 30_000_000    # ref: MobileFusion.h:32-33
+
+
+@dataclasses.dataclass(frozen=True)
+class TextureConfig:
+    """View-selection MRF + atlas + color compensation
+    (ref: TexMap.{h,cpp}, Atlas.{h,cpp}, Chisel.cpp:149-286)."""
+
+    mrf_potts_weight: float = 1.0      # ref: TexMap PairwisePotts(1.0)
+    mrf_edge_weight: float = 0.5       # ref: TexMap.h:54-55
+    mrf_sweeps: int = 12               # ICM sweeps (replaces mapmap tree solves)
+    max_labels: int = 16               # per-chunk candidate keyframe labels
+    atlas_size: int = 13824            # ref: Atlas.h:29-30
+    patch_scale: float = 4800.0        # PATCH_WIDTH = floor(4800·res) (Atlas.h:62-65)
+    wrong_mapping_color: float = 0.6   # ref: Patch.cpp:88-96
+    wrong_mapping_depth: float = 0.7
+    wrong_mapping_frac: float = 0.3
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh scale-out (new capability; see SURVEY.md §2.3)."""
+
+    data_axis: str = "chunks"          # TSDF chunk slots sharded over this axis
+    edge_axis: str = "edges"           # BA edges sharded over this axis
+    n_devices: Optional[int] = None    # None = use all available
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    tracking: TrackingConfig = dataclasses.field(default_factory=TrackingConfig)
+    ba: BAConfig = dataclasses.field(default_factory=BAConfig)
+    tsdf: TSDFConfig = dataclasses.field(default_factory=TSDFConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    texture: TextureConfig = dataclasses.field(default_factory=TextureConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def tiny_test_config() -> PipelineConfig:
+    """Small capacities for fast unit tests on CPU."""
+    return PipelineConfig(
+        camera=CameraConfig(width=160, height=120, fx=120.0, fy=120.0,
+                            cx=79.5, cy=59.5, far_plane=6.0),
+        tracking=TrackingConfig(max_features=256, max_features_pad=256,
+                                max_matches_pad=256, ransac_iterations=128),
+        ba=BAConfig(max_keyframes=32, max_edges=128),
+        tsdf=TSDFConfig(voxel_resolution=0.05, capacity=1024,
+                        max_update_chunks=512),
+        mesh=MeshConfig(max_mesh_chunks=512),
+        texture=TextureConfig(atlas_size=2048),
+    )

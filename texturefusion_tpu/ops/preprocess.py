@@ -1,0 +1,203 @@
+"""Image preprocessing kernels as jitted XLA ops.
+
+TPU-native re-design of the reference's AVX2 per-pixel kernels in BasicAPI
+(ref: BasicAPI.cpp — framePreprocess :942, extractNormalMapSIMD :849,
+refineDepthUseNormalSIMD :728, checkColorQuality :783, estimateColorQuality
+:815, refineKeyframesSIMD :506, refineNewframesSIMD :378, blurriness :1256).
+Every kernel is a pure function over (H, W[, C]) arrays; XLA fuses the
+elementwise pipelines, stencils are expressed as static shifted slices.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from texturefusion_tpu.core import camera as cam
+
+
+def _shift(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Shifted copy with edge padding: out[y, x] = img[y+dy, x+dx]."""
+    pad_y = (max(-dy, 0), max(dy, 0))
+    pad_x = (max(-dx, 0), max(dx, 0))
+    padded = jnp.pad(img, (pad_y, pad_x), mode="edge")
+    h, w = img.shape
+    return jax.lax.dynamic_slice(padded, (pad_y[0] + dy, pad_x[0] + dx), (h, w))
+
+
+def depth_clamp(depth: jnp.ndarray, near: float, far: float) -> jnp.ndarray:
+    """Zero out depth outside [near, far] (ref: framePreprocess depth clamp,
+    BasicAPI.cpp:942-997). 0 encodes invalid."""
+    valid = (depth > near) & (depth < far)
+    return jnp.where(valid, depth, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def bilateral_filter(depth: jnp.ndarray, radius: int = 4,
+                     sigma_space: float = 4.5, sigma_range: float = 0.03) -> jnp.ndarray:
+    """Edge-preserving depth smoothing, 9×9 default window.
+
+    Matches cv::bilateralFilter(9, 0.03, ~4.5) in framePreprocess
+    (ref: BasicAPI.cpp:942-997; DatasetWrapper.hpp:188). Invalid (0) depths
+    contribute nothing and stay 0.
+    """
+    valid = depth > 0
+    acc = jnp.zeros_like(depth)
+    wacc = jnp.zeros_like(depth)
+    inv_2ss = 1.0 / (2.0 * sigma_space * sigma_space)
+    inv_2sr = 1.0 / (2.0 * sigma_range * sigma_range)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            nb = _shift(depth, dy, dx)
+            nb_valid = nb > 0
+            w_s = np.exp(-(dy * dy + dx * dx) * (1.0 / (2.0 * sigma_space * sigma_space)))
+            diff = nb - depth
+            w = w_s * jnp.exp(-(diff * diff) * inv_2sr)
+            w = jnp.where(nb_valid, w, 0.0)
+            acc = acc + w * nb
+            wacc = wacc + w
+    del inv_2ss
+    out = acc / jnp.maximum(wacc, 1e-12)
+    return jnp.where(valid & (wacc > 1e-12), out, 0.0)
+
+
+@jax.jit
+def rgb_to_gray(rgb: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3) float -> (H, W) luminance."""
+    return rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
+
+
+def extract_normal_map(depth: jnp.ndarray, intr: cam.Intrinsics) -> jnp.ndarray:
+    """Cross-product normals from backprojected depth gradients
+    (ref: extractNormalMapSIMD BasicAPI.cpp:849-905; MapMaintain.hpp:15-66).
+
+    Returns (H, W, 3) unit normals pointing toward the camera (-z half-space);
+    zero where depth invalid.
+    """
+    pts = cam.backproject_depth_map(intr, depth)
+    right = jnp.roll(pts, -1, axis=1)
+    down = jnp.roll(pts, -1, axis=0)
+    dx = right - pts
+    dy = down - pts
+    n = jnp.cross(dy, dx)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / jnp.maximum(norm, 1e-12)
+    # flip to face the camera (dot with view direction must be negative)
+    view = pts / jnp.maximum(jnp.linalg.norm(pts, axis=-1, keepdims=True), 1e-12)
+    flip = jnp.sum(n * view, axis=-1, keepdims=True) > 0
+    n = jnp.where(flip, -n, n)
+    valid = (depth > 0) & (jnp.roll(depth, -1, 1) > 0) & (jnp.roll(depth, -1, 0) > 0)
+    valid = valid & (norm[..., 0] > 1e-12)
+    return jnp.where(valid[..., None], n, 0.0)
+
+
+def view_angle_cos(depth: jnp.ndarray, normals: jnp.ndarray,
+                   intr: cam.Intrinsics) -> jnp.ndarray:
+    """|view_dir · normal| per pixel — the observation-angle factor used by
+    color-quality and depth-refinement gates."""
+    pts = cam.backproject_depth_map(intr, depth)
+    view = pts / jnp.maximum(jnp.linalg.norm(pts, axis=-1, keepdims=True), 1e-12)
+    return jnp.abs(jnp.sum(view * normals, axis=-1))
+
+
+def refine_depth_with_normals(depth: jnp.ndarray, normals: jnp.ndarray,
+                              intr: cam.Intrinsics,
+                              min_cos: float = 0.1) -> jnp.ndarray:
+    """Zero depth at grazing observation angles |view·normal| < 0.1
+    (ref: refineDepthUseNormalSIMD BasicAPI.cpp:728-780)."""
+    cos = view_angle_cos(depth, normals, intr)
+    has_normal = jnp.sum(normals * normals, axis=-1) > 1e-12
+    keep = (cos >= min_cos) & has_normal
+    return jnp.where(keep, depth, 0.0)
+
+
+def color_valid_flag(depth: jnp.ndarray, normals: jnp.ndarray,
+                     intr: cam.Intrinsics, min_cos: float = 0.2) -> jnp.ndarray:
+    """Per-pixel flag: color observation usable if |view·normal| ≥ 0.2
+    (ref: checkColorQuality BasicAPI.cpp:783-813)."""
+    cos = view_angle_cos(depth, normals, intr)
+    has_normal = jnp.sum(normals * normals, axis=-1) > 1e-12
+    return (cos >= min_cos) & has_normal & (depth > 0)
+
+
+def sobel_magnitude(gray: jnp.ndarray) -> jnp.ndarray:
+    """|Sobel| gradient magnitude of (H, W)."""
+    gx = (_shift(gray, -1, 1) + 2 * _shift(gray, 0, 1) + _shift(gray, 1, 1)
+          - _shift(gray, -1, -1) - 2 * _shift(gray, 0, -1) - _shift(gray, 1, -1))
+    gy = (_shift(gray, 1, -1) + 2 * _shift(gray, 1, 0) + _shift(gray, 1, 1)
+          - _shift(gray, -1, -1) - 2 * _shift(gray, -1, 0) - _shift(gray, -1, 1))
+    return jnp.sqrt(gx * gx + gy * gy)
+
+
+def observation_quality_map(rgb: jnp.ndarray, depth: jnp.ndarray,
+                            normals: jnp.ndarray, intr: cam.Intrinsics) -> jnp.ndarray:
+    """Per-pixel texture-observation quality: Sobel(gray) × |view·normal|
+    (ref: estimateColorQuality BasicAPI.cpp:815-847). Feeds per-chunk MRF
+    data costs via the TSDF integrator."""
+    gray = rgb_to_gray(rgb)
+    grad = sobel_magnitude(gray)
+    cos = view_angle_cos(depth, normals, intr)
+    q = grad * cos
+    return jnp.where(depth > 0, q, 0.0)
+
+
+@jax.jit
+def laplacian_blurriness(gray: jnp.ndarray) -> jnp.ndarray:
+    """Mean |Laplacian| sharpness score; below threshold ⇒ blurred frame,
+    blocked from keyframe promotion (ref: blurriness BasicAPI.cpp:1256-1266;
+    gate at GCSLAM.cpp:315). Expects gray in [0, 255] scale for threshold 3.0."""
+    lap = (_shift(gray, 0, 1) + _shift(gray, 0, -1) + _shift(gray, 1, 0)
+           + _shift(gray, -1, 0) - 4.0 * gray)
+    return jnp.mean(jnp.abs(lap))
+
+
+def fuse_depth_into_keyframe(kf_depth: jnp.ndarray, kf_weight: jnp.ndarray,
+                             new_depth: jnp.ndarray,
+                             rel_pose_new_to_kf: jnp.ndarray,
+                             intr: cam.Intrinsics,
+                             consistency: float = 0.05) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Running weighted fusion of a tracked frame's depth into its keyframe.
+
+    TPU re-design of refineKeyframesSIMD (ref: BasicAPI.cpp:506-635): the new
+    frame's depth map is backprojected, transformed into the keyframe, and
+    forward-splatted via rounded projection; consistent samples update the
+    keyframe's running (depth, weight) average. Splatting uses scatter-min
+    then weighted accumulation, replacing the reference's serial writes.
+    """
+    pts_new = cam.backproject_depth_map(intr, new_depth)
+    from texturefusion_tpu.core import se3
+
+    pts_kf = se3.transform_points(rel_pose_new_to_kf, pts_new.reshape(-1, 3))
+    uv, z = cam.project(intr, pts_kf)
+    valid = (new_depth.reshape(-1) > 0) & (z > intr.near) & cam.in_image(intr, uv)
+    ui = jnp.clip(jnp.round(uv[..., 0]).astype(jnp.int32), 0, intr.width - 1)
+    vi = jnp.clip(jnp.round(uv[..., 1]).astype(jnp.int32), 0, intr.height - 1)
+    flat_idx = vi * intr.width + ui
+
+    kf_flat = kf_depth.reshape(-1)
+    # consistency: reprojected depth agrees with current keyframe estimate
+    ref_d = kf_flat[flat_idx]
+    agree = valid & ((ref_d <= 0) | (jnp.abs(ref_d - z) < consistency * jnp.maximum(ref_d, 1e-3)))
+    w_new = jnp.where(agree, 1.0, 0.0)
+
+    num = jnp.zeros_like(kf_flat).at[flat_idx].add(w_new * z)
+    den = jnp.zeros_like(kf_flat).at[flat_idx].add(w_new)
+
+    w_old = kf_weight.reshape(-1)
+    fused = (kf_flat * w_old + num) / jnp.maximum(w_old + den, 1e-12)
+    have_any = (w_old + den) > 0
+    out_d = jnp.where(have_any, fused, 0.0).reshape(kf_depth.shape)
+    out_w = (w_old + den).reshape(kf_depth.shape)
+    return out_d, out_w
+
+
+def frame_preprocess(depth_raw: jnp.ndarray, intr: cam.Intrinsics,
+                     bilateral_radius: int = 4) -> jnp.ndarray:
+    """Full depth preprocessing: clamp to [near, far] then bilateral smooth
+    (ref: framePreprocess BasicAPI.cpp:942-997)."""
+    d = depth_clamp(depth_raw, intr.near, intr.far)
+    return bilateral_filter(d, radius=bilateral_radius)
