@@ -1,0 +1,313 @@
+"""Chunked TSDF volume: slot-indexed device arrays + host-side allocator.
+
+TPU-native replacement for open_chisel's pointer-based chunk hash map
+(ref: Structure/ChunkManager.h:119-1306 ChunkManager;
+open_chisel/geometry/Chunk.h — Chunk/DistVoxel/ColorVoxel) and the Chisel
+facade's integration scan (ref: Structure/Chisel.h:103-249
+PrepareIntersectChunks / IntegrateDepthScanColor / FinalizeIntegrateChunks).
+
+Design (SURVEY.md §7): the TSDF lives in dense [capacity, 512] arrays on
+device; a host dict maps integer ChunkID → slot with a free list. Per-frame
+updates gather a fixed-size batch of chunk rows, run the jitted voxel
+kernel, and scatter back — shapes are static so everything compiles once.
+Slot `capacity` is a trash row absorbing padded scatter lanes.
+
+The per-(chunk, keyframe) observation-quality table that feeds the texture
+MRF (ref: Chunk.h:170-172 `observations`; Structure/sparse_matrix.h) is kept
+host-side as a dict of dicts, updated from the kernel's per-chunk sums.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from texturefusion_tpu.config import PipelineConfig
+from texturefusion_tpu.core import camera as cam
+from texturefusion_tpu.core import geometry
+from texturefusion_tpu.ops import tsdf as tsdf_ops
+
+
+class TSDFVolume:
+    def __init__(self, config: PipelineConfig,
+                 sharding: Optional[object] = None):
+        self.config = config
+        self.cfg = config.tsdf
+        self.intr = cam.Intrinsics.from_config(config.camera)
+        cap = self.cfg.capacity
+        v = self.cfg.chunk_size ** 3
+        self.n_voxels = v
+        # +1 trash slot for padded scatter lanes
+        self.batch = tsdf_ops.make_empty_batch(cap + 1, v)
+        self.origins = jnp.zeros((cap + 1, 3), jnp.float32)
+        if sharding is not None:
+            self.batch = jax.tree.map(lambda a: jax.device_put(a, sharding), self.batch)
+            self.origins = jax.device_put(self.origins, sharding)
+
+        # host-side allocator state
+        self.slot_of: Dict[Tuple[int, int, int], int] = {}
+        self.ids = np.zeros((cap, 3), np.int32)
+        self.used = np.zeros(cap, bool)
+        self.free: List[int] = list(range(cap - 1, -1, -1))
+        # chunk slot -> {keyframe_id: observation quality}
+        self.observations: Dict[int, Dict[int, float]] = {}
+        self.dirty_mesh: Set[int] = set()       # slots needing remesh
+        self.chunks_created: int = 0
+
+    # ---------------------------------------------------------- allocator
+
+    @property
+    def extent(self) -> float:
+        return self.cfg.chunk_size * self.cfg.voxel_resolution
+
+    def n_active(self) -> int:
+        return int(self.used.sum())
+
+    def allocate(self, ids: np.ndarray) -> np.ndarray:
+        """Get-or-create slots for integer chunk IDs (N, 3). Returns (N,)
+        slot indices; -1 where the pool is exhausted."""
+        slots = np.empty(len(ids), np.int64)
+        new_slots = []
+        for i, cid in enumerate(map(tuple, ids.tolist())):
+            s = self.slot_of.get(cid)
+            if s is None:
+                if not self.free:
+                    slots[i] = -1
+                    continue
+                s = self.free.pop()
+                self.slot_of[cid] = s
+                self.ids[s] = cid
+                self.used[s] = True
+                self.chunks_created += 1
+                new_slots.append(s)
+            slots[i] = s
+        if new_slots:
+            new_slots = np.asarray(new_slots, np.int64)
+            origins = self.ids[new_slots].astype(np.float32) * self.extent
+            self.origins = self.origins.at[jnp.asarray(new_slots)].set(jnp.asarray(origins))
+        return slots
+
+    def lookup(self, ids: np.ndarray) -> np.ndarray:
+        """Slots for chunk IDs without allocating; -1 for absent."""
+        return np.asarray([self.slot_of.get(tuple(c), -1) for c in ids.tolist()],
+                          np.int64)
+
+    def release(self, slots: np.ndarray) -> None:
+        """Free chunk slots and reset their device rows
+        (ref: Chisel.h:184-216 GC of empty new chunks)."""
+        slots = np.asarray([s for s in np.atleast_1d(slots) if s >= 0], np.int64)
+        if len(slots) == 0:
+            return
+        for s in slots.tolist():
+            cid = tuple(self.ids[s])
+            if self.slot_of.get(cid) == s:
+                del self.slot_of[cid]
+            self.used[s] = False
+            self.free.append(s)
+            self.observations.pop(s, None)
+            self.dirty_mesh.discard(s)
+        idx = jnp.asarray(slots)
+        self.batch = tsdf_ops.ChunkBatch(
+            sdf=self.batch.sdf.at[idx].set(tsdf_ops.RESET_SDF),
+            weight=self.batch.weight.at[idx].set(0.0),
+            color=self.batch.color.at[idx].set(0.0),
+            color_count=self.batch.color_count.at[idx].set(0.0),
+        )
+
+    # ---------------------------------------------------------- integration
+
+    def discover_chunks(self, depth: jnp.ndarray, cam_to_world: jnp.ndarray,
+                        allocate: bool = True) -> np.ndarray:
+        """Chunk IDs intersecting this frame's truncation band → slots
+        (ref: Chisel.h:103-182 PrepareIntersectChunks). Allocates new slots
+        unless allocate=False (de-integration touches existing only)."""
+        ids, mask = tsdf_ops.candidate_chunk_coords(
+            depth, cam_to_world, self.intr, self.cfg)
+        ids = np.asarray(ids)[np.asarray(mask)]
+        if len(ids) == 0:
+            return np.zeros((0,), np.int64)
+        ids = np.unique(ids, axis=0)
+        slots = self.allocate(ids) if allocate else self.lookup(ids)
+        return slots[slots >= 0]
+
+    def _padded(self, slots: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Pad slot list to the static budget; excess chunks are dropped
+        with a warning count (no silent truncation)."""
+        budget = self.cfg.max_update_chunks
+        if len(slots) > budget:
+            # keep deterministic order; caller may loop for the rest
+            slots = slots[:budget]
+        pad = budget - len(slots)
+        trash = self.cfg.capacity
+        padded = np.concatenate([slots, np.full(pad, trash, np.int64)])
+        active = np.concatenate([np.ones(len(slots), bool), np.zeros(pad, bool)])
+        return jnp.asarray(padded), jnp.asarray(active)
+
+    def integrate_frame(
+        self,
+        depth: jnp.ndarray,
+        rgb: Optional[jnp.ndarray],
+        quality_map: Optional[jnp.ndarray],
+        cam_to_world: jnp.ndarray,
+        keyframe_id: Optional[int] = None,
+        sign: float = 1.0,
+        slots: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Integrate (sign=+1) or de-integrate (sign=-1) one frame.
+
+        Mirrors Chisel::IntegrateDepthScanColor (ref: Chisel.h:218-249):
+        updates voxels, records per-chunk observation quality under
+        `keyframe_id`, marks updated chunks (and their 6-neighbors) dirty
+        for meshing. Returns the touched slots.
+        """
+        if slots is None:
+            slots = self.discover_chunks(depth, cam_to_world, allocate=sign > 0)
+        if len(slots) == 0:
+            return slots
+        all_slots = slots
+        with_color = rgb is not None
+        if rgb is None:
+            rgb = jnp.zeros((self.intr.height, self.intr.width, 3), jnp.float32)
+        if quality_map is None:
+            quality_map = jnp.zeros((self.intr.height, self.intr.width), jnp.float32)
+
+        for start in range(0, len(all_slots), self.cfg.max_update_chunks):
+            chunk_slots = all_slots[start:start + self.cfg.max_update_chunks]
+            idx, active = self._padded(chunk_slots)
+            sub = tsdf_ops.ChunkBatch(*(a[idx] for a in self.batch))
+            sub, quality, updated = tsdf_ops.integrate_chunks(
+                sub, self.origins[idx], active, depth, rgb, quality_map,
+                cam_to_world, jnp.float32(sign), self.intr, self.cfg,
+                with_color=with_color)
+            self.batch = tsdf_ops.ChunkBatch(
+                *(full.at[idx].set(part) for full, part in zip(self.batch, sub)))
+
+            updated_np = np.asarray(updated)
+            if with_color and keyframe_id is not None:
+                quality_np = np.asarray(quality)
+                for s, q, up in zip(chunk_slots.tolist(), quality_np.tolist(),
+                                    updated_np.tolist()):
+                    if not up:
+                        continue
+                    obs = self.observations.setdefault(int(s), {})
+                    if sign > 0:
+                        obs[keyframe_id] = float(q)
+                    else:
+                        obs.pop(keyframe_id, None)
+            self._mark_dirty(chunk_slots[updated_np[:len(chunk_slots)]])
+        return all_slots
+
+    def _mark_dirty(self, slots: np.ndarray) -> None:
+        """Updated chunks and their 6-neighbors need remeshing
+        (ref: Chisel.h:184-216 FinalizeIntegrateChunks dirty marks)."""
+        if len(slots) == 0:
+            return
+        ids = self.ids[slots]
+        nbrs = geometry.neighbor_offsets_6()
+        all_ids = np.concatenate([ids] + [ids + o for o in nbrs])
+        for cid in map(tuple, all_ids.tolist()):
+            s = self.slot_of.get(cid)
+            if s is not None:
+                self.dirty_mesh.add(s)
+        for s in slots.tolist():
+            self.dirty_mesh.add(int(s))
+
+    def garbage_collect(self, slots: np.ndarray) -> np.ndarray:
+        """Free chunks among `slots` with no observed voxels
+        (ref: Chisel.h:472-477 GarbageCollect). Returns freed slots."""
+        if len(slots) == 0:
+            return slots
+        idx = jnp.asarray(slots)
+        occ = np.asarray(jnp.sum(jnp.abs(self.batch.weight[idx]), axis=-1))
+        empty = slots[occ <= 0.0]
+        self.release(empty)
+        return empty
+
+    def retract_observations(self, keyframe_id: int) -> List[int]:
+        """Remove a keyframe's observation-quality entries before
+        re-integration (ref: MobileFusion.cpp:252-272 RetractObservations).
+        Returns affected slots."""
+        touched = []
+        for s, obs in self.observations.items():
+            if keyframe_id in obs:
+                del obs[keyframe_id]
+                touched.append(s)
+        return touched
+
+    # ---------------------------------------------------------- queries
+
+    def active_slots(self) -> np.ndarray:
+        return np.nonzero(self.used)[0]
+
+    def sdf_at(self, points_w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Trilinear TSDF sample at world points (N, 3) → (sdf, valid).
+        (ref: Chisel.h:251-342 GetDistanceFromSurface;
+        ChunkManager.cpp:1043-1168 GetSDF/GetSDFAndGradient)."""
+        return sample_sdf_trilinear(self.batch.sdf, self.batch.weight,
+                                    self._slot_table(), points_w,
+                                    self.cfg.chunk_size, self.cfg.voxel_resolution)
+
+    def _slot_table(self) -> "SlotTable":
+        """Dense chunk-ID → slot lookup over the active bounding box,
+        rebuilt on demand for device-side queries."""
+        act = self.active_slots()
+        trash = self.cfg.capacity
+        if len(act) == 0:
+            lo = np.zeros(3, np.int32)
+            table = np.full((1, 1, 1), trash, np.int32)
+        else:
+            ids = self.ids[act]
+            lo = ids.min(0)
+            hi = ids.max(0)
+            table = np.full(tuple((hi - lo + 1).tolist()), trash, np.int32)
+            rel = ids - lo
+            table[rel[:, 0], rel[:, 1], rel[:, 2]] = act
+        return SlotTable(jnp.asarray(table), jnp.asarray(lo, jnp.int32), trash)
+
+
+class SlotTable:
+    """Device-side dense chunk-ID → slot map over the map's bounding box."""
+
+    def __init__(self, table: jnp.ndarray, lo: jnp.ndarray, trash: int):
+        self.table = table   # [X, Y, Z] int32, trash slot where absent
+        self.lo = lo         # [3] int32
+        self.trash = trash
+
+    def slots_for(self, ids: jnp.ndarray) -> jnp.ndarray:
+        """(..., 3) int chunk IDs -> slot (trash slot when absent)."""
+        rel = ids - self.lo
+        shp = jnp.asarray(self.table.shape, rel.dtype)
+        inb = jnp.all((rel >= 0) & (rel < shp), axis=-1)
+        relc = jnp.clip(rel, 0, shp - 1)
+        s = self.table[relc[..., 0], relc[..., 1], relc[..., 2]]
+        return jnp.where(inb, s, self.trash)
+
+
+def sample_sdf_trilinear(sdf: jnp.ndarray, weight: jnp.ndarray,
+                         table: SlotTable, points_w: jnp.ndarray,
+                         chunk_size: int, resolution: float):
+    """Trilinear SDF interpolation across chunk boundaries.
+
+    Gathers the 8 surrounding voxel centers (possibly in different chunks)
+    via the dense slot table (ref: ChunkManager.cpp:1043-1168)."""
+    # voxel-center grid coordinate
+    g = points_w / resolution - 0.5
+    g0 = jnp.floor(g).astype(jnp.int32)
+    frac = g - g0.astype(g.dtype)
+    w8 = geometry.trilinear_weights(frac)  # (..., 8)
+    corners = jnp.asarray(
+        [[x, y, z] for z in (0, 1) for y in (0, 1) for x in (0, 1)], jnp.int32)
+    vox = g0[..., None, :] + corners                                     # (...,8,3)
+    cid = jnp.floor_divide(vox, chunk_size)
+    local = vox - cid * chunk_size
+    slot = table.slots_for(cid)
+    lin = (local[..., 0] + local[..., 1] * chunk_size
+           + local[..., 2] * chunk_size * chunk_size)
+    s8 = sdf[slot, lin]
+    w8v = weight[slot, lin]
+    ok = jnp.all((w8v > 0) & (s8 < tsdf_ops.RESET_SDF * 0.5), axis=-1)
+    val = jnp.sum(w8 * s8, axis=-1)
+    return jnp.where(ok, val, tsdf_ops.RESET_SDF), ok

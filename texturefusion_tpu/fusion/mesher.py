@@ -1,0 +1,123 @@
+"""Incremental meshing orchestration over the chunked TSDF volume.
+
+Replaces ChunkManager::RecomputeMeshes' parallel_for over dirty chunks
+(ref: Structure/ChunkManager.cpp:232-264) with batched device meshing +
+host-side per-chunk mesh cache. Only chunks marked dirty by integration
+are remeshed each cycle (incremental marching cubes).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from texturefusion_tpu.core import geometry
+from texturefusion_tpu.fusion.chunkmap import TSDFVolume
+from texturefusion_tpu.ops import marching_cubes as mc
+
+
+class IncrementalMesher:
+    def __init__(self, volume: TSDFVolume):
+        self.volume = volume
+        # slot -> (verts, faces, colors, normals) in world space
+        self.meshes: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
+
+    def _neighbor_slots(self, slots: np.ndarray) -> np.ndarray:
+        """[U, 8] slot of self + 7 positive-corner neighbors (trash if absent)
+        (ref: ChunkManager.cpp:608-633 neighbor pointer table)."""
+        vol = self.volume
+        ids = vol.ids[slots]
+        trash = vol.cfg.capacity
+        out = np.full((len(slots), 8), trash, np.int64)
+        out[:, 0] = slots
+        offsets = {1: (1, 0, 0), 2: (0, 1, 0), 3: (1, 1, 0),
+                   4: (0, 0, 1), 5: (1, 0, 1), 6: (0, 1, 1), 7: (1, 1, 1)}
+        for k, off in offsets.items():
+            nb = ids + np.asarray(off, np.int32)
+            out[:, k] = [vol.slot_of.get(tuple(c), trash) for c in nb.tolist()]
+        return out
+
+    def update_meshes(self, max_chunks: int = 0) -> int:
+        """Remesh all dirty chunks. Returns number remeshed
+        (ref: Chisel.h:479-481 UpdateMeshes)."""
+        vol = self.volume
+        dirty = sorted(vol.dirty_mesh)
+        if max_chunks:
+            dirty = dirty[:max_chunks]
+        if not dirty:
+            return 0
+        budget = self.volume.config.mesh.max_mesh_chunks
+        for start in range(0, len(dirty), budget):
+            part = np.asarray(dirty[start:start + budget], np.int64)
+            self._remesh(part)
+        for s in dirty:
+            vol.dirty_mesh.discard(s)
+        return len(dirty)
+
+    def _remesh(self, slots: np.ndarray) -> None:
+        vol = self.volume
+        nbr = self._neighbor_slots(slots)
+        origins = vol.ids[slots].astype(np.float32) * vol.extent
+        mesh = mc.mesh_chunks(
+            vol.batch.sdf, vol.batch.weight, vol.batch.color,
+            vol.batch.color_count,
+            jnp.asarray(slots), jnp.asarray(nbr), jnp.asarray(origins),
+            vol.cfg.chunk_size, vol.cfg.voxel_resolution)
+        pos = np.asarray(mesh.positions)
+        nrm = np.asarray(mesh.normals)
+        col = np.asarray(mesh.colors)
+        val = np.asarray(mesh.vert_valid)
+        tris = np.asarray(mesh.triangles)
+        for u, slot in enumerate(slots.tolist()):
+            t = tris[u]
+            t = t[(t >= 0).all(axis=-1)]
+            if len(t):
+                t = t[val[u][t].all(axis=-1)]
+            if len(t) == 0:
+                self.meshes.pop(slot, None)
+                continue
+            used = np.zeros(val.shape[1], bool)
+            used[t.reshape(-1)] = True
+            remap = np.full(val.shape[1], -1, np.int64)
+            remap[used] = np.arange(used.sum())
+            self.meshes[slot] = (pos[u][used], remap[t].astype(np.int32),
+                                 col[u][used], nrm[u][used])
+
+    def drop(self, slots) -> None:
+        for s in np.atleast_1d(slots).tolist():
+            self.meshes.pop(int(s), None)
+
+    def full_mesh(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Concatenate all chunk meshes: (verts, faces, colors, normals)."""
+        if not self.meshes:
+            z = np.zeros((0, 3), np.float32)
+            return z, np.zeros((0, 3), np.int32), z, z
+        vs, fs, cs, ns = [], [], [], []
+        base = 0
+        for slot in sorted(self.meshes):
+            v, f, c, n = self.meshes[slot]
+            vs.append(v)
+            fs.append(f + base)
+            cs.append(c)
+            ns.append(n)
+            base += len(v)
+        return (np.concatenate(vs), np.concatenate(fs),
+                np.concatenate(cs), np.concatenate(ns))
+
+    def chunk_adjacency(self) -> Dict[int, np.ndarray]:
+        """slot -> 6-neighbor slots that also have meshes (for the texture
+        MRF chunk graph, ref: TexMap.cpp:50-61 update_chunkgraph)."""
+        vol = self.volume
+        nbrs = geometry.neighbor_offsets_6()
+        out = {}
+        for slot in self.meshes:
+            cid = vol.ids[slot]
+            adj = []
+            for off in nbrs:
+                s = vol.slot_of.get(tuple((cid + off).tolist()))
+                if s is not None and s in self.meshes:
+                    adj.append(s)
+            out[slot] = np.asarray(adj, np.int64)
+        return out

@@ -52,17 +52,26 @@ class BoxRoomScene:
         return d
 
     def color(self, pts: jnp.ndarray) -> jnp.ndarray:
-        """Procedural albedo (..., 3) in [0,1]: 3D checkerboard + position tint.
-        High-frequency enough to give FAST corners for tracking."""
+        """Procedural albedo (..., 3) in [0,1]: hash-noise cells at two
+        scales — spatially NON-repetitive so binary descriptors are
+        distinctive (repetitive checkerboards alias feature matching),
+        plus high-frequency cell borders that give FAST corners."""
+
+        def hash_noise(cells: jnp.ndarray, salt: float) -> jnp.ndarray:
+            h = (cells[..., 0] * 12.9898 + cells[..., 1] * 78.233
+                 + cells[..., 2] * 37.719 + salt)
+            return jnp.mod(jnp.sin(h) * 43758.5453, 1.0)
+
         s = self.checker_scale
-        checker = (jnp.floor(pts[..., 0] * s) + jnp.floor(pts[..., 1] * s)
-                   + jnp.floor(pts[..., 2] * s)) % 2.0
-        fine = (jnp.floor(pts[..., 0] * s * 3.7) + jnp.floor(pts[..., 2] * s * 3.1)) % 2.0
-        base = 0.25 + 0.5 * checker
-        r = base * (0.7 + 0.3 * fine)
-        g = base * (0.5 + 0.25 * jnp.cos(pts[..., 0] * 3.0))
-        b = base * (0.5 + 0.25 * jnp.sin(pts[..., 2] * 2.0))
-        return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 1.0)
+        coarse = jnp.floor(pts * s)
+        fine = jnp.floor(pts * s * 3.0)
+        n1 = hash_noise(coarse, 0.0)
+        n2 = hash_noise(fine, 17.0)
+        base = 0.2 + 0.6 * n1
+        r = jnp.clip(base * (0.6 + 0.6 * n2), 0.0, 1.0)
+        g = jnp.clip(base * (0.6 + 0.6 * hash_noise(fine, 29.0)), 0.0, 1.0)
+        b = jnp.clip(base * (0.6 + 0.6 * hash_noise(coarse, 43.0)), 0.0, 1.0)
+        return jnp.stack([r, g, b], axis=-1)
 
 
 def _raymarch(scene: BoxRoomScene, origins: jnp.ndarray, dirs: jnp.ndarray,

@@ -1,0 +1,223 @@
+"""Incremental marching cubes over TSDF chunks as a batched XLA program.
+
+TPU-native re-design of open_chisel's per-chunk mesher
+(ref: Structure/ChunkManager.cpp:595-1004 GenerateMeshEfficient): the
+reference walks voxels serially, gathering cross-chunk SDF through neighbor
+pointers and deduplicating vertices through 3×729 per-edge arrays
+(ref: ChunkManager.cpp:645-647). Here the same per-edge-ownership trick
+becomes the *output layout*: each chunk emits a dense [3·9³] edge-vertex
+buffer plus a [8³·MAX_TRIS·3] index buffer of edge ids, computed by one
+batched kernel over all dirty chunks at once. Host code compacts the
+padded buffers into a render/export mesh.
+
+Cross-chunk access: each chunk reads a 9³ SDF/weight/color block assembled
+by gathering from itself + its 7 corner neighbors (+x, +y, +z, ... +xyz),
+exactly the neighbor set of the reference's pointer table
+(ref: ChunkManager.cpp:608-633). Normals are SDF gradients
+(ref: ChunkManager.cpp:277-455 extractGradientFromCubic).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from texturefusion_tpu.ops import mc_tables
+from texturefusion_tpu.ops.tsdf import RESET_SDF
+
+B = 9               # block side: chunk 8³ + 1 shared layer
+B3 = B * B * B      # 729
+N_EDGE_VERTS = 3 * B3
+
+
+def _block_luts(chunk_size: int) -> Tuple[np.ndarray, np.ndarray]:
+    """For each 9³ block voxel: (neighbor choice 0..7, linear index within
+    that neighbor chunk). Neighbor choice bits: 1=+x, 2=+y, 4=+z."""
+    s = chunk_size
+    coords = np.stack(np.meshgrid(np.arange(B), np.arange(B), np.arange(B),
+                                  indexing="ij"), axis=-1).reshape(-1, 3)
+    nbr = (coords[:, 0] // s) + 2 * (coords[:, 1] // s) + 4 * (coords[:, 2] // s)
+    local = coords % s
+    lin = local[:, 0] + local[:, 1] * s + local[:, 2] * s * s  # x-fastest
+    return nbr.astype(np.int32), lin.astype(np.int32)
+
+
+def _grid_lin(coords: np.ndarray) -> np.ndarray:
+    """9³ grid coords (..., 3) -> linear id (x*81 + y*9 + z)."""
+    return (coords[..., 0] * B + coords[..., 1]) * B + coords[..., 2]
+
+
+class ChunkMesh(NamedTuple):
+    """Padded per-chunk mesh buffers (batch dimension U leading)."""
+
+    positions: jnp.ndarray   # [U, 3·729, 3] world-space edge vertices
+    normals: jnp.ndarray     # [U, 3·729, 3]
+    colors: jnp.ndarray      # [U, 3·729, 3] in [0, 1]
+    vert_valid: jnp.ndarray  # [U, 3·729] bool
+    triangles: jnp.ndarray   # [U, 8³·MAX_TRIS, 3] int32 edge ids, -1 padded
+
+
+@functools.partial(jax.jit, static_argnames=("chunk_size", "resolution"))
+def mesh_chunks(
+    sdf: jnp.ndarray,          # [S, V] full slot arrays
+    weight: jnp.ndarray,       # [S, V]
+    color: jnp.ndarray,        # [S, V, 3] accumulators (byte scale)
+    color_count: jnp.ndarray,  # [S, V]
+    slots: jnp.ndarray,        # [U] chunk slots to mesh
+    nbr_slots: jnp.ndarray,    # [U, 8] slot of self+7 neighbors (trash if absent)
+    origins: jnp.ndarray,      # [U, 3] world origin of each chunk
+    chunk_size: int,
+    resolution: float,
+) -> ChunkMesh:
+    # ---- assemble 9³ blocks by gathering self + 7 corner neighbors
+    nbr_lut, lin_lut = _block_luts(chunk_size)
+    nbr_lut = jnp.asarray(nbr_lut)
+    lin_lut = jnp.asarray(lin_lut)
+    src_slot = nbr_slots[:, nbr_lut]                  # [U, 729]
+    s_blk = sdf[src_slot, lin_lut]                    # [U, 729]
+    w_blk = weight[src_slot, lin_lut]
+    cnt = jnp.maximum(color_count[src_slot, lin_lut], 1e-6)
+    c_blk = color[src_slot, lin_lut] / cnt[..., None] / 255.0   # [U, 729, 3]
+
+    s3 = s_blk.reshape(-1, B, B, B)
+    w3 = w_blk.reshape(-1, B, B, B)
+    observed3 = (w3 > 0) & (jnp.abs(s3) < RESET_SDF * 0.5)
+
+    # ---- SDF gradient at grid nodes (one-sided at block boundaries)
+    def grad_axis(f, axis):
+        upper = jnp.roll(f, -1, axis)
+        lower = jnp.roll(f, 1, axis)
+        n = f.shape[axis]
+        idx = jnp.arange(n)
+        shape = [1, 1, 1, 1]
+        shape[axis] = n
+        idx = idx.reshape(shape)
+        central = (upper - lower) * 0.5
+        fwd = upper - f
+        bwd = f - lower
+        g = jnp.where(idx == 0, fwd, jnp.where(idx == n - 1, bwd, central))
+        return g
+
+    gx = grad_axis(s3, 1)
+    gy = grad_axis(s3, 2)
+    gz = grad_axis(s3, 3)
+    g3 = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, B3, 3)
+
+    # ---- per-edge vertices (dedup by ownership: axis × 9³ origin)
+    coords = np.stack(np.meshgrid(np.arange(B), np.arange(B), np.arange(B),
+                                  indexing="ij"), axis=-1).reshape(-1, 3)
+    grid_pos = jnp.asarray(coords, jnp.float32)       # [729, 3]
+
+    pos_list, nrm_list, col_list, val_list = [], [], [], []
+    for axis in range(3):
+        step = np.zeros(3, np.int32)
+        step[axis] = 1
+        nb_coords = coords + step
+        in_range = (nb_coords < B).all(axis=-1)
+        nb_lin = _grid_lin(np.clip(nb_coords, 0, B - 1))
+        nb_lin = jnp.asarray(nb_lin)
+        in_range = jnp.asarray(in_range)
+
+        s0 = s_blk                                    # [U, 729]
+        s1 = s_blk[:, nb_lin]
+        ob0 = observed3.reshape(-1, B3)
+        ob1 = ob0[:, nb_lin]
+        crossing = (s0 * s1 < 0) & ob0 & ob1 & in_range[None, :]
+        t = s0 / jnp.where(jnp.abs(s0 - s1) > 1e-12, s0 - s1, 1e-12)
+        t = jnp.clip(t, 0.0, 1.0)
+        p = (grid_pos[None] + t[..., None] * jnp.asarray(step, jnp.float32))
+        pos_list.append(p)
+        c0 = c_blk
+        c1 = c_blk[:, nb_lin]
+        col_list.append(c0 + (c1 - c0) * t[..., None])
+        g0 = g3
+        g1 = g3[:, nb_lin]
+        n = g0 + (g1 - g0) * t[..., None]
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        nrm_list.append(n)
+        val_list.append(crossing)
+
+    positions = (jnp.concatenate(pos_list, axis=1) * resolution
+                 + origins[:, None, :] + 0.5 * resolution)
+    # +0.5·res because grid node (i,j,k) is the *center* of voxel (i,j,k)
+    normals = jnp.concatenate(nrm_list, axis=1)
+    colors = jnp.clip(jnp.concatenate(col_list, axis=1), 0.0, 1.0)
+    vert_valid = jnp.concatenate(val_list, axis=1)
+
+    # ---- per-voxel case index + triangle emission
+    s = chunk_size
+    vox = np.stack(np.meshgrid(np.arange(s), np.arange(s), np.arange(s),
+                               indexing="ij"), axis=-1).reshape(-1, 3)  # [512,3]
+    corner_lin = _grid_lin(vox[:, None, :] + mc_tables.CORNER_OFFSETS[None])  # [512,8]
+    corner_lin = jnp.asarray(corner_lin)
+    cs = s_blk[:, corner_lin]                         # [U, 512, 8]
+    cob = observed3.reshape(-1, B3)[:, corner_lin]
+    cell_ok = jnp.all(cob, axis=-1)
+    bits = (cs < 0).astype(jnp.int32)
+    case = jnp.sum(bits * (1 << jnp.arange(8, dtype=jnp.int32))[None, None, :], axis=-1)
+    case = jnp.where(cell_ok, case, 0)
+
+    tri_edges = jnp.asarray(mc_tables.TRI_TABLE)      # [256, MAX_TRIS*3]
+    local_e = tri_edges[case]                         # [U, 512, MAX_TRIS*3]
+
+    # map local edge id -> global grid edge id for each voxel
+    e_axis = jnp.asarray(mc_tables.EDGE_AXIS)         # [12]
+    e_origin_lin = _grid_lin(vox[:, None, :] + mc_tables.EDGE_ORIGIN[None])  # [512,12]
+    e_global = jnp.asarray(e_origin_lin) + jnp.asarray(mc_tables.EDGE_AXIS)[None, :] * B3
+    safe_local = jnp.maximum(local_e, 0)
+    gid = jnp.take_along_axis(
+        jnp.broadcast_to(e_global[None], (case.shape[0],) + e_global.shape),
+        safe_local, axis=-1)
+    gid = jnp.where(local_e >= 0, gid, -1)
+    triangles = gid.reshape(case.shape[0], -1, 3)     # [U, 512*MAX_TRIS, 3]
+    return ChunkMesh(positions, normals, colors, vert_valid, triangles)
+
+
+def compact_mesh(mesh: ChunkMesh, active: np.ndarray
+                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side compaction of padded chunk meshes into flat arrays.
+
+    Returns (vertices [N,3], faces [M,3] int32, colors [N,3], normals [N,3]).
+    Replaces the reference's DrawMeshes buffer fill (ref: Chisel.cpp:288-355).
+    """
+    pos = np.asarray(mesh.positions)
+    nrm = np.asarray(mesh.normals)
+    col = np.asarray(mesh.colors)
+    val = np.asarray(mesh.vert_valid)
+    tris = np.asarray(mesh.triangles)
+
+    verts_out, faces_out, cols_out, nrms_out = [], [], [], []
+    base = 0
+    for u in range(pos.shape[0]):
+        if not active[u]:
+            continue
+        v_mask = val[u]
+        t = tris[u]
+        t = t[(t >= 0).all(axis=-1)]
+        if len(t) == 0:
+            continue
+        # a triangle is valid only if all three edge vertices are valid
+        tv = v_mask[t].all(axis=-1)
+        t = t[tv]
+        if len(t) == 0:
+            continue
+        used = np.zeros(val.shape[1], bool)
+        used[t.reshape(-1)] = True
+        remap = np.full(val.shape[1], -1, np.int64)
+        remap[used] = np.arange(used.sum()) + base
+        verts_out.append(pos[u][used])
+        cols_out.append(col[u][used])
+        nrms_out.append(nrm[u][used])
+        faces_out.append(remap[t])
+        base += used.sum()
+    if not verts_out:
+        z = np.zeros((0, 3), np.float32)
+        return z, np.zeros((0, 3), np.int32), z, z
+    return (np.concatenate(verts_out).astype(np.float32),
+            np.concatenate(faces_out).astype(np.int32),
+            np.concatenate(cols_out).astype(np.float32),
+            np.concatenate(nrms_out).astype(np.float32))
