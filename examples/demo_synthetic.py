@@ -27,12 +27,46 @@ from texturefusion_tpu.io import ply, synthetic
 from texturefusion_tpu.ops import preprocess
 
 
+def run_slam_pipeline(config, scene, poses, depths, rgbs, args):
+    """Full pipeline: tracking + loop closure + BA + fusion + meshing."""
+    from texturefusion_tpu.fusion.pipeline import ReconstructionPipeline
+    from texturefusion_tpu.io import tum
+    from texturefusion_tpu.utils.stopwatch import STOPWATCH
+
+    pipe = ReconstructionPipeline(config)
+    t0 = time.time()
+    for i, (d, c) in enumerate(zip(depths, rgbs)):
+        pipe.process_frame(jnp.asarray(d), jnp.asarray(c), timestamp=float(i))
+    pipe.finish()
+    dt = time.time() - t0
+    print(f"pipeline: {len(depths)} frames in {dt:.1f}s "
+          f"({len(depths) / dt:.2f} fps incl. compile), stats={pipe.stats}")
+    print(STOPWATCH.report())
+
+    est = pipe.trajectory()
+    rmse = tum.ate_rmse(est, np.stack(poses))
+    verts, faces, colors, normals = pipe.mesher.full_mesh()
+    os.makedirs(args.out, exist_ok=True)
+    out_path = os.path.join(args.out, "slam_fused.ply")
+    ply.save_ply(out_path, verts, faces, colors, normals)
+    pipe.save_trajectory(os.path.join(args.out, "trajectory.txt"))
+    verts_w = verts @ poses[0][:3, :3].T + poses[0][:3, 3]
+    sdf_err = np.abs(np.asarray(scene.sdf(jnp.asarray(verts_w))))
+    print(f"ATE RMSE: {rmse * 1000:.1f}mm | mesh: {len(verts)} verts, "
+          f"median surf err {np.median(sdf_err) * 1000:.1f}mm")
+    ok = rmse < 0.02 and np.median(sdf_err) < config.tsdf.voxel_resolution
+    print("RESULT:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--size", default="small", choices=["small", "vga"])
     ap.add_argument("--out", default="/tmp/demo")
     ap.add_argument("--voxel", type=float, default=0.03)
+    ap.add_argument("--slam", action="store_true",
+                    help="full pipeline with tracking instead of GT poses")
     args = ap.parse_args()
 
     if args.size == "small":
@@ -53,6 +87,9 @@ def main():
     t0 = time.time()
     depths, rgbs = synthetic.render_sequence(scene, intr, poses)
     print(f"rendered {args.frames} frames in {time.time() - t0:.1f}s")
+
+    if args.slam:
+        return run_slam_pipeline(config, scene, poses, depths, rgbs, args)
 
     vol = TSDFVolume(config)
     mesher = IncrementalMesher(vol)

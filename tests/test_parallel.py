@@ -1,0 +1,89 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from texturefusion_tpu.config import BAConfig, tiny_test_config
+from texturefusion_tpu.core import camera as cam, se3
+from texturefusion_tpu.parallel import ba as pba
+from texturefusion_tpu.parallel import mesh as pmesh
+from texturefusion_tpu.parallel import sharded_tsdf
+from texturefusion_tpu.slam import fastba
+
+from test_fastba import _make_pose_graph
+
+
+def test_mesh_has_8_devices():
+    m = pmesh.make_mesh()
+    assert m.size == 8
+
+
+def test_distributed_ba_matches_single_device():
+    poses, edges, active, gt, n_total = _make_pose_graph(noise=0.05)
+    cfg = BAConfig(gn_rounds=1, gn_iterations_per_round=5)
+    # single-device result
+    ref_poses, e0_ref, e1_ref = fastba.gauss_newton_rounds(
+        poses, edges, n_total, active, cfg)
+    # distributed over the 8-device CPU mesh
+    m = pmesh.make_mesh()
+    edges_p = pba.pad_edges_for_mesh(edges, m.size)
+    edges_s = pba.shard_edges(edges_p, m)
+    out, e0, e1 = pba.distributed_gn(poses, edges_s, n_total, active, cfg, m)
+    np.testing.assert_allclose(float(e0), float(e0_ref), rtol=1e-4)
+    np.testing.assert_allclose(float(e1), float(e1_ref), rtol=1e-2, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_poses),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_distributed_ba_converges_to_gt():
+    poses, edges, active, gt, n_total = _make_pose_graph(noise=0.05, seed=7)
+    cfg = BAConfig(gn_rounds=1, gn_iterations_per_round=6)
+    m = pmesh.make_mesh()
+    edges_s = pba.shard_edges(pba.pad_edges_for_mesh(edges, m.size), m)
+    out, e0, e1 = pba.distributed_gn(poses, edges_s, n_total, active, cfg, m)
+    out = np.asarray(out)
+    for k in range(6):
+        d = np.asarray(se3.pose_distance(jnp.asarray(out[k]), jnp.asarray(gt[k])))
+        assert d < 1e-6, (k, d)
+
+
+def test_sharded_tsdf_integration_matches_dense():
+    cfg = tiny_test_config()
+    intr = cam.Intrinsics.from_config(cfg.camera)
+    m = pmesh.make_mesh()
+    cap = 64  # divisible by 8
+    n_vox = cfg.tsdf.chunk_size ** 3
+    batch, origins = sharded_tsdf.make_sharded_batch(cap, n_vox, m)
+    # a couple of chunks in front of a synthetic wall depth map
+    from texturefusion_tpu.io import synthetic
+    scene = synthetic.BoxRoomScene()
+    pose = jnp.asarray(synthetic.orbit_trajectory(1)[0])
+    depth, rgb = synthetic.render_frame(scene, intr, pose)
+    origins_np = np.zeros((cap, 3), np.float32)
+    active_np = np.zeros(cap, bool)
+    # chunks along the wall at z≈2 (in camera world coords)
+    ext = cfg.tsdf.chunk_size * cfg.tsdf.voxel_resolution
+    k = 0
+    for x in range(-4, 4):
+        for y in range(-2, 2):
+            origins_np[k] = [x * ext, y * ext, 1.8]
+            active_np[k] = True
+            k += 1
+    origins = jax.device_put(jnp.asarray(origins_np), pmesh.shard_leading(m))
+    active = jax.device_put(jnp.asarray(active_np), pmesh.shard_leading(m))
+
+    step = sharded_tsdf.sharded_integrate_step(m, intr, cfg.tsdf)
+    quality = jnp.zeros_like(depth)
+    new_batch, cq = step(batch, origins, active, depth, rgb, quality, pose,
+                         jnp.float32(1.0))
+    w = np.asarray(new_batch.weight)
+    assert w.sum() > 0
+    # compare against the plain (unsharded) kernel
+    from texturefusion_tpu.ops import tsdf as tsdf_ops
+    plain = tsdf_ops.make_empty_batch(cap, n_vox)
+    ref, q_ref, _ = tsdf_ops.integrate_chunks(
+        plain, jnp.asarray(origins_np), jnp.asarray(active_np), depth, rgb,
+        quality, pose, jnp.float32(1.0), intr, cfg.tsdf, with_color=True)
+    np.testing.assert_allclose(w, np.asarray(ref.weight), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_batch.sdf), np.asarray(ref.sdf),
+                               atol=1e-4)

@@ -47,15 +47,38 @@ class TSDFVolume:
             self.batch = jax.tree.map(lambda a: jax.device_put(a, sharding), self.batch)
             self.origins = jax.device_put(self.origins, sharding)
 
-        # host-side allocator state
-        self.slot_of: Dict[Tuple[int, int, int], int] = {}
-        self.ids = np.zeros((cap, 3), np.int32)
-        self.used = np.zeros(cap, bool)
-        self.free: List[int] = list(range(cap - 1, -1, -1))
+        # host-side allocator: native C++ hash map when available
+        # (native/chunk_alloc.cpp), Python fallback otherwise
+        from texturefusion_tpu.native.allocator import make_allocator
+        self.alloc = make_allocator(cap)
+        self.slot_of: Dict[Tuple[int, int, int], int] = {}  # synced view
+        self.ids = np.zeros((cap, 3), np.int32)             # synced view
+        self.used = np.zeros(cap, bool)                     # synced view
         # chunk slot -> {keyframe_id: observation quality}
         self.observations: Dict[int, Dict[int, float]] = {}
         self.dirty_mesh: Set[int] = set()       # slots needing remesh
         self.chunks_created: int = 0
+
+    @property
+    def free(self) -> List[int]:
+        """Unallocated slots (derived view; allocation order is owned by
+        the backend allocator)."""
+        return [s for s in range(self.cfg.capacity) if not self.used[s]]
+
+    def _register_new(self, new_slots: np.ndarray) -> None:
+        """Sync host views + device origins for freshly allocated slots."""
+        if len(new_slots) == 0:
+            return
+        ids_all, used_all = self.alloc.export()
+        new_ids = ids_all[new_slots]
+        self.ids[new_slots] = new_ids
+        self.used[new_slots] = True
+        for s, cid in zip(new_slots.tolist(), map(tuple, new_ids.tolist())):
+            self.slot_of[cid] = int(s)
+        self.chunks_created += len(new_slots)
+        origins = new_ids.astype(np.float32) * self.extent
+        self.origins = self.origins.at[jnp.asarray(new_slots)].set(
+            jnp.asarray(origins))
 
     # ---------------------------------------------------------- allocator
 
@@ -69,31 +92,14 @@ class TSDFVolume:
     def allocate(self, ids: np.ndarray) -> np.ndarray:
         """Get-or-create slots for integer chunk IDs (N, 3). Returns (N,)
         slot indices; -1 where the pool is exhausted."""
-        slots = np.empty(len(ids), np.int64)
-        new_slots = []
-        for i, cid in enumerate(map(tuple, ids.tolist())):
-            s = self.slot_of.get(cid)
-            if s is None:
-                if not self.free:
-                    slots[i] = -1
-                    continue
-                s = self.free.pop()
-                self.slot_of[cid] = s
-                self.ids[s] = cid
-                self.used[s] = True
-                self.chunks_created += 1
-                new_slots.append(s)
-            slots[i] = s
-        if new_slots:
-            new_slots = np.asarray(new_slots, np.int64)
-            origins = self.ids[new_slots].astype(np.float32) * self.extent
-            self.origins = self.origins.at[jnp.asarray(new_slots)].set(jnp.asarray(origins))
-        return slots
+        ids = np.asarray(ids, np.int32)
+        _, new_slots = self.alloc.touch(ids, allocate=True)
+        self._register_new(new_slots)
+        return self.alloc.lookup(ids)
 
     def lookup(self, ids: np.ndarray) -> np.ndarray:
         """Slots for chunk IDs without allocating; -1 for absent."""
-        return np.asarray([self.slot_of.get(tuple(c), -1) for c in ids.tolist()],
-                          np.int64)
+        return self.alloc.lookup(np.asarray(ids, np.int32))
 
     def release(self, slots: np.ndarray) -> None:
         """Free chunk slots and reset their device rows
@@ -101,12 +107,12 @@ class TSDFVolume:
         slots = np.asarray([s for s in np.atleast_1d(slots) if s >= 0], np.int64)
         if len(slots) == 0:
             return
+        self.alloc.release(slots)
         for s in slots.tolist():
             cid = tuple(self.ids[s])
             if self.slot_of.get(cid) == s:
                 del self.slot_of[cid]
             self.used[s] = False
-            self.free.append(s)
             self.observations.pop(s, None)
             self.dirty_mesh.discard(s)
         idx = jnp.asarray(slots)
@@ -129,8 +135,9 @@ class TSDFVolume:
         ids = np.asarray(ids)[np.asarray(mask)]
         if len(ids) == 0:
             return np.zeros((0,), np.int64)
-        ids = np.unique(ids, axis=0)
-        slots = self.allocate(ids) if allocate else self.lookup(ids)
+        # dedup + slot assignment in one native pass (no np.unique)
+        slots, new_slots = self.alloc.touch(ids, allocate=allocate)
+        self._register_new(new_slots)
         return slots[slots >= 0]
 
     def _padded(self, slots: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -23,6 +23,7 @@ class IncrementalMesher:
         self.volume = volume
         # slot -> (verts, faces, colors, normals) in world space
         self.meshes: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
+        self.last_remeshed: set = set()
 
     def _neighbor_slots(self, slots: np.ndarray) -> np.ndarray:
         """[U, 8] slot of self + 7 positive-corner neighbors (trash if absent)
@@ -46,6 +47,7 @@ class IncrementalMesher:
         dirty = sorted(vol.dirty_mesh)
         if max_chunks:
             dirty = dirty[:max_chunks]
+        self.last_remeshed = set(dirty)
         if not dirty:
             return 0
         budget = self.volume.config.mesh.max_mesh_chunks

@@ -1,0 +1,238 @@
+"""End-to-end reconstruction pipeline: tracking + fusion + meshing (+texture).
+
+TPU-native re-design of MobileFusion + the main loop
+(ref: GCFusion/MobileFusion.{h,cpp} — tsdfFusion :274-406,
+ReIntegrateKeyframe :114-221, IntegrateFrame :223-250,
+clearRedudentFrameMemory :71-90, updateGlobalMap/MapManagement :92-112;
+main.cpp:102-211 per-frame loop).
+
+The reference splits tracking and fusion across two barrier-synchronized
+boost threads; here both are streams of device work launched from one
+host loop — fusion work (keyframe-rate) overlaps tracking (frame-rate)
+naturally through JAX's async dispatch (SURVEY.md §2.3 mapping).
+
+Per-keyframe fusion cycle (= reference's map-thread tsdfFusion):
+  1. drift-based de/re-integration of old keyframes (dynamics.py)
+  2. integrate the newest *finished* keyframe (color+quality) and a
+     subsample of its tracked local frames (depth-only)
+  3. incremental meshing of dirty chunks
+  4. texture view-selection / patches / atlas (texture/, wired in by
+     TexturedPipeline below when enabled)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from texturefusion_tpu.config import PipelineConfig
+from texturefusion_tpu.core import camera as cam
+from texturefusion_tpu.fusion import dynamics
+from texturefusion_tpu.fusion.chunkmap import TSDFVolume
+from texturefusion_tpu.fusion.mesher import IncrementalMesher
+from texturefusion_tpu.ops import preprocess
+from texturefusion_tpu.slam.gcslam import GCSLAM
+from texturefusion_tpu.utils.stopwatch import STOPWATCH
+
+
+@dataclasses.dataclass
+class KeyframeFusionState:
+    """Host-side cache of everything needed to (re-)integrate a keyframe."""
+
+    kf_slot: int
+    frame_index: int
+    depth: np.ndarray              # refined depth (fused from local frames)
+    rgb: np.ndarray
+    quality: np.ndarray
+    local_depths: List[np.ndarray]          # subsampled local-frame depths
+    local_rel_poses: List[np.ndarray]       # frame→keyframe relative poses
+    depth_weight: Optional[np.ndarray] = None   # running fusion weight
+    integrated_pose: Optional[np.ndarray] = None   # pose_sophus[1]
+    integrated: bool = False
+
+
+class ReconstructionPipeline:
+    def __init__(self, config: PipelineConfig):
+        self.config = config
+        self.intr = cam.Intrinsics.from_config(config.camera)
+        self.slam = GCSLAM(config)
+        self.volume = TSDFVolume(config)
+        self.mesher = IncrementalMesher(self.volume)
+        self.kf_states: Dict[int, KeyframeFusionState] = {}
+        self._last_seen_kf = -1
+        self.stats = {"frames": 0, "keyframes": 0, "reintegrations": 0}
+
+    # --------------------------------------------------------------- frames
+
+    def process_frame(self, depth_raw: jnp.ndarray, rgb: jnp.ndarray,
+                      timestamp: float = 0.0) -> None:
+        """Track one frame; fuse at keyframe boundaries
+        (ref: main.cpp:102-211 per-frame loop)."""
+        intr = self.intr
+        with STOPWATCH.time("preprocess"):
+            depth = preprocess.frame_preprocess(depth_raw, intr)
+            normals = preprocess.extract_normal_map(depth, intr)
+            depth_refined = preprocess.refine_depth_with_normals(depth, normals, intr)
+            gray = preprocess.rgb_to_gray(rgb) * 255.0
+
+        with STOPWATCH.time("tracking"):
+            frame = self.slam.update_frame(gray, depth_refined, timestamp)
+        self.stats["frames"] += 1
+
+        if frame.is_keyframe:
+            with STOPWATCH.time("quality"):
+                quality = preprocess.observation_quality_map(
+                    rgb, depth_refined, normals, intr)
+            self.kf_states[frame.keyframe_slot] = KeyframeFusionState(
+                kf_slot=frame.keyframe_slot,
+                frame_index=frame.index,
+                depth=np.asarray(depth_refined),
+                rgb=np.asarray(rgb),
+                quality=np.asarray(quality),
+                local_depths=[], local_rel_poses=[])
+            self.stats["keyframes"] += 1
+            # previous keyframe is now finished → fusion cycle
+            # (ref: MobileFusion.cpp:274-406 runs on kflist.size()-2)
+            prev = frame.keyframe_slot - 1
+            if prev >= 0:
+                self.fusion_cycle(prev)
+        else:
+            # accumulate local-frame depth for keyframe refinement +
+            # depth-only integration (ref: refineKeyframesSIMD usage
+            # main.cpp:124-135; MobileFusion.cpp:187-203)
+            st = self.kf_states.get(frame.keyframe_slot)
+            if st is not None and frame.tracking_success:
+                n_keep = self.config.tsdf.local_frames_per_keyframe
+                if len(st.local_depths) < n_keep:
+                    st.local_depths.append(np.asarray(depth_refined))
+                    st.local_rel_poses.append(frame.rel_to_keyframe)
+                if not st.integrated:
+                    # running-weight depth fusion into the keyframe
+                    # (ref: refineKeyframesSIMD BasicAPI.cpp:506-635)
+                    with STOPWATCH.time("kf_refine"):
+                        if st.depth_weight is None:
+                            st.depth_weight = (st.depth > 0).astype(np.float32)
+                        fused, w = preprocess.fuse_depth_into_keyframe(
+                            jnp.asarray(st.depth), jnp.asarray(st.depth_weight),
+                            depth_refined,
+                            jnp.asarray(frame.rel_to_keyframe), intr)
+                        st.depth = np.asarray(fused)
+                        st.depth_weight = np.asarray(w)
+
+    def finish(self) -> None:
+        """Flush: fuse remaining keyframes and run final re-integration
+        at optimized poses (ref: main.cpp:213-317 finalization)."""
+        self.slam.final_ba()
+        for slot in range(len(self.slam.keyframes)):
+            st = self.kf_states.get(slot)
+            if st is not None and not st.integrated:
+                self.fusion_cycle(slot)
+        # re-integrate any keyframe whose pose moved since integration
+        self._reintegrate_drifted(max_updates=len(self.slam.keyframes))
+        self.mesher.update_meshes()
+
+    # --------------------------------------------------------------- fusion
+
+    def _integrate_keyframe(self, st: KeyframeFusionState, sign: float) -> None:
+        pose = (st.integrated_pose if sign < 0
+                else self.slam.keyframe_pose(st.kf_slot))
+        pose_j = jnp.asarray(pose)
+        kf_id = st.kf_slot
+        self.volume.integrate_frame(
+            jnp.asarray(st.depth), jnp.asarray(st.rgb),
+            jnp.asarray(st.quality), pose_j, keyframe_id=kf_id, sign=sign)
+        # local frames: depth-only at subsampled rate
+        # (ref: MobileFusion.cpp:187-203)
+        for d, rel in zip(st.local_depths, st.local_rel_poses):
+            self.volume.integrate_frame(
+                jnp.asarray(d), None, None,
+                jnp.asarray(pose @ rel), keyframe_id=None, sign=sign)
+        if sign > 0:
+            st.integrated_pose = np.asarray(pose)
+            st.integrated = True
+        else:
+            st.integrated = False
+
+    def fusion_cycle(self, finished_slot: int) -> None:
+        """One map-thread cycle (ref: MobileFusion.cpp:274-406 tsdfFusion)."""
+        with STOPWATCH.time("reintegration"):
+            self._reintegrate_drifted()
+        st = self.kf_states.get(finished_slot)
+        if st is not None and not st.integrated:
+            if self.slam.keyframes[finished_slot].origin_index == 0:
+                # only origin-0 frames are fused (ref: MobileFusion.cpp:245)
+                with STOPWATCH.time("integration"):
+                    self._integrate_keyframe(st, sign=1.0)
+        with STOPWATCH.time("meshing"):
+            self.mesher.update_meshes()
+        self._texture_cycle()
+
+    def _texture_cycle(self) -> None:
+        """Hook for the texture stage (overridden by TexturedPipeline)."""
+
+    def _reintegrate_drifted(self, max_updates: int = 4) -> None:
+        """De-integrate at the old pose, re-integrate at the optimized pose
+        (ref: MobileFusion.cpp:114-221 ReIntegrateKeyframe; scheduling
+        :289-315)."""
+        slots = [s for s, st in self.kf_states.items() if st.integrated]
+        if not slots:
+            return
+        current = np.stack([self.slam.keyframe_pose(s) for s in slots])
+        integrated = np.stack([self.kf_states[s].integrated_pose for s in slots])
+        costs = dynamics.pose_drift_costs(current, integrated)
+        picked = dynamics.select_keyframes_to_update(costs, max_updates)
+        for i in picked:
+            st = self.kf_states[slots[i]]
+            self.volume.retract_observations(st.kf_slot)
+            self._integrate_keyframe(st, sign=-1.0)   # de-integrate @ old pose
+            self._integrate_keyframe(st, sign=+1.0)   # re-integrate @ new pose
+            self.stats["reintegrations"] += 1
+
+    # --------------------------------------------------------------- export
+
+    def export_mesh(self, path: str) -> int:
+        from texturefusion_tpu.io import ply
+        verts, faces, colors, normals = self.mesher.full_mesh()
+        ply.save_ply(path, verts, faces, colors, normals)
+        return len(verts)
+
+    def trajectory(self) -> np.ndarray:
+        return self.slam.trajectory()
+
+    def save_trajectory(self, path: str, timestamps=None) -> None:
+        traj = self.trajectory()
+        if timestamps is None:
+            timestamps = [f.timestamp for f in self.slam.frames]
+        from texturefusion_tpu.io import ply as _ply
+        _ply.save_trajectory_tum(path, timestamps, traj)
+
+
+class TexturedPipeline(ReconstructionPipeline):
+    """Full pipeline with online texturing — the reference's complete
+    TextureFusion behavior (ref: MobileFusion.cpp:356-384 texture stages
+    of tsdfFusion)."""
+
+    def __init__(self, config: PipelineConfig):
+        super().__init__(config)
+        from texturefusion_tpu.texture.manager import TextureManager
+        self.texture = TextureManager(config)
+
+    def _texture_cycle(self) -> None:
+        import types
+        if not self.slam.keyframes:
+            return
+        with STOPWATCH.time("texture"):
+            tex_states = {}
+            for slot, st in self.kf_states.items():
+                tex_states[slot] = types.SimpleNamespace(
+                    pose=self.slam.keyframe_pose(slot),
+                    rgb=st.rgb, depth=st.depth)
+            self.texture.update(self.volume, self.mesher, tex_states,
+                                newest_kf=len(self.slam.keyframes) - 1,
+                                remeshed=self.mesher.last_remeshed)
+
+    def export_textured(self, out_dir: str, name: str = "model") -> str:
+        return self.texture.export_textured(self.mesher, out_dir, name)

@@ -1,0 +1,120 @@
+"""Flagship jittable reconstruction steps (single-chip and multi-chip).
+
+These compose the framework's kernels into the two canonical entry
+points — the equivalents of the reference's per-frame hot path
+(ref: main.cpp:102-211 + MobileFusion.cpp:274-406 rolled into pure
+array programs):
+
+  * frame_step        — preprocess + normals + quality + TSDF integrate,
+                        one frame into a chunk batch (single chip)
+  * multichip_step    — the full "training step" analog: chunk-sharded
+                        TSDF integration + edge-sharded distributed BA
+                        Gauss-Newton, under one device mesh
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from texturefusion_tpu.config import BAConfig, PipelineConfig, TSDFConfig
+from texturefusion_tpu.core import camera as cam
+from texturefusion_tpu.ops import preprocess, tsdf as tsdf_ops
+from texturefusion_tpu.slam import fastba
+from texturefusion_tpu.slam.fastba import EdgeSums
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "cfg"),
+                   donate_argnums=(2,))
+def frame_step(
+    depth_raw: jnp.ndarray,      # [H, W] raw depth (0 invalid)
+    rgb: jnp.ndarray,            # [H, W, 3] float 0..1
+    batch: tsdf_ops.ChunkBatch,  # chunk rows being updated (donated)
+    origins: jnp.ndarray,        # [U, 3]
+    active: jnp.ndarray,         # [U]
+    cam_to_world: jnp.ndarray,   # [4, 4]
+    intr: cam.Intrinsics,
+    cfg: TSDFConfig,
+) -> Tuple[tsdf_ops.ChunkBatch, jnp.ndarray, jnp.ndarray]:
+    """One fused frame step: the per-frame device work of the pipeline
+    as a single XLA program. Returns (batch, chunk quality, normals)."""
+    depth = preprocess.frame_preprocess(depth_raw, intr)
+    normals = preprocess.extract_normal_map(depth, intr)
+    depth = preprocess.refine_depth_with_normals(depth, normals, intr)
+    quality = preprocess.observation_quality_map(rgb, depth, normals, intr)
+    new_batch, chunk_q, _ = tsdf_ops.integrate_chunks(
+        batch, origins, active, depth, rgb, quality, cam_to_world,
+        jnp.float32(1.0), intr, cfg, with_color=True)
+    return new_batch, chunk_q, normals
+
+
+class MultichipState(NamedTuple):
+    batch: tsdf_ops.ChunkBatch   # chunk-sharded TSDF rows
+    origins: jnp.ndarray         # [S, 3] chunk-sharded
+    active: jnp.ndarray          # [S] chunk-sharded
+    poses: jnp.ndarray           # [K, 4, 4] replicated keyframe poses
+    edges: EdgeSums              # edge-sharded pre-integrated pose graph
+
+
+def make_multichip_step(mesh: Mesh, intr: cam.Intrinsics,
+                        tsdf_cfg: TSDFConfig, ba_cfg: BAConfig,
+                        n_kf: int, axis: str = "shard"):
+    """Build the jitted multi-chip step: sharded TSDF integrate + one
+    distributed-BA GN round in a single compiled program."""
+    sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    batch_sh = tsdf_ops.ChunkBatch(sdf=sh, weight=sh, color=sh, color_count=sh)
+    edges_sh = jax.tree.map(lambda _: sh, EdgeSums(
+        kf_i=0, kf_j=0, s_w=0, s_p=0, s_q=0, s_pp=0, s_qq=0, s_pq=0, valid=0))
+    state_sh = MultichipState(batch=batch_sh, origins=sh, active=sh,
+                              poses=rep, edges=edges_sh)
+
+    def ba_round(poses, edges, active_kf):
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(), jax.tree.map(lambda _: P(axis), edges), P()),
+            out_specs=P(),
+        )
+        def run(poses, edge_shard, active_kf):
+            def gn_iter(_, p):
+                blocks = fastba._edge_blocks(p, edge_shard)
+                h, b = fastba.assemble_dense(
+                    *blocks, edge_shard.kf_i, edge_shard.kf_j, n_kf)
+                h = jax.lax.psum(h, axis)
+                b = jax.lax.psum(b, axis)
+                diag = jnp.arange(n_kf * 6)
+                first_active = jnp.argmax(active_kf)
+                pin = (jnp.arange(n_kf) == first_active) | (~active_kf)
+                h = h.at[diag, diag].add(
+                    jnp.where(jnp.repeat(pin, 6), 1e12, 0.0)
+                    + ba_cfg.levenberg_lambda)
+                dx = -jnp.linalg.solve(h, b)
+                dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx,
+                               jnp.zeros_like(dx))
+                from texturefusion_tpu.core import se3
+                xi = jnp.where(active_kf[:, None], dx.reshape(n_kf, 6), 0.0)
+                upd = se3.compose(se3.se3_exp(xi), p)
+                return jnp.where(active_kf[:, None, None], upd, p)
+
+            return jax.lax.fori_loop(0, ba_cfg.gn_iterations_per_round,
+                                     gn_iter, poses)
+
+        return run(poses, edges, active_kf)
+
+    @functools.partial(jax.jit,
+                       in_shardings=(state_sh, rep, rep, rep, rep, rep),
+                       out_shardings=state_sh,
+                       donate_argnums=(0,))
+    def step(state: MultichipState, depth, rgb, quality, cam_to_world,
+             active_kf) -> MultichipState:
+        new_batch, _, _ = tsdf_ops.integrate_chunks(
+            state.batch, state.origins, state.active, depth, rgb, quality,
+            cam_to_world, jnp.float32(1.0), intr, tsdf_cfg, with_color=True)
+        new_poses = ba_round(state.poses, state.edges, active_kf)
+        return state._replace(batch=new_batch, poses=new_poses)
+
+    return step

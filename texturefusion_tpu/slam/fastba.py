@@ -85,7 +85,7 @@ def _edge_moments(edges: EdgeSums, rot_i, t_i, rot_j, t_j):
         # Σw (R_a a + t_a)(R_b b + t_b)ᵀ
         return (jnp.einsum("eik,ekl,ejl->eij", rot_a, s_ab, rot_b, precision=_PREC)
                 + jnp.einsum("eik,ek,ej->eij", rot_a, s_a, t_b, precision=_PREC)
-                + jnp.einsum("ei,ekj,ek->eij", t_a, rot_b, s_b, precision=_PREC)
+                + jnp.einsum("ei,ejk,ek->eij", t_a, rot_b, s_b, precision=_PREC)
                 + edges.s_w[:, None, None] * t_a[:, :, None] * t_b[:, None, :])
 
     s_xx = outer_term(rot_i, t_i, rot_i, t_i, edges.s_pp, edges.s_p, edges.s_p)

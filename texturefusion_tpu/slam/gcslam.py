@@ -1,0 +1,290 @@
+"""Globally-consistent SLAM front/back-end: keyframe tracking state machine.
+
+TPU-native re-design of the reference's GCSLAM class
+(ref: GCSLAM/GCSLAM.{h,cpp} — update_frame :256-356 with the keyframe
+decision :315-327, update_keyframe :52-185, select_closure_candidates
+:6-50, updateMapOrigin :187-254) orchestrating jitted kernels:
+feature extraction, two-view registration, loop-closure scoring and
+FastBA all run on device; this module is the host-side control flow
+(the reference's is C++ on the tracking thread).
+
+Keyframe promotion (ref: GCSLAM.cpp:315-327): a tracked frame becomes a
+keyframe when disparity > 0.1, scale change > 0.4, or after 3 consecutive
+tracking failures; blurred frames are blocked (ref: BasicAPI.cpp:1256).
+Failure of all candidate registrations starts a new map origin
+(ref: GCSLAM.cpp:149-161); only origin-0 frames are fused downstream
+(ref: MobileFusion.cpp:245).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from texturefusion_tpu.config import PipelineConfig
+from texturefusion_tpu.core import camera as cam
+from texturefusion_tpu.core import se3
+from texturefusion_tpu.slam import fastba, loopclosure
+from texturefusion_tpu.slam.features import Keypoints, extract_features
+from texturefusion_tpu.slam.matching import TwoViewResult, huber_weights, register_frames
+
+
+@dataclasses.dataclass
+class FrameRecord:
+    index: int
+    timestamp: float
+    is_keyframe: bool = False
+    keyframe_slot: int = -1            # slot of the owning keyframe
+    rel_to_keyframe: np.ndarray = None  # [4,4]: p_kf = rel · p_frame
+    tracking_success: bool = False
+    origin_index: int = 0
+    blurred: bool = False
+    keypoints: Optional[Keypoints] = None  # kept for keyframes only
+
+
+@dataclasses.dataclass
+class KeyframeRecord:
+    frame_index: int
+    slot: int                          # index into the pose array
+    origin_index: int
+    local_frames: List[int] = dataclasses.field(default_factory=list)
+    reg_success_count: int = 0
+
+
+def _next_bucket(n: int, lo: int = 8) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class GCSLAM:
+    def __init__(self, config: PipelineConfig):
+        self.config = config
+        self.cfg = config.tracking
+        self.intr = cam.Intrinsics.from_config(config.camera)
+        self.frames: List[FrameRecord] = []
+        self.keyframes: List[KeyframeRecord] = []
+        max_kf = config.ba.max_keyframes
+        self.poses = np.tile(np.eye(4, dtype=np.float32), (max_kf, 1, 1))
+        self.edges = fastba.make_edges(config.ba.max_edges)
+        self.n_edges = 0
+        self.db = loopclosure.KeyframeDescriptorDB(max_keyframes=max_kf)
+        self.fail_count = 0
+        self.origin_count = 1
+        self._key = jax.random.PRNGKey(42)
+        self.last_ba_errors: List = []
+
+    # ------------------------------------------------------------ helpers
+
+    def _split_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    @property
+    def last_keyframe(self) -> Optional[KeyframeRecord]:
+        return self.keyframes[-1] if self.keyframes else None
+
+    def keyframe_pose(self, slot: int) -> np.ndarray:
+        return self.poses[slot]
+
+    def frame_pose(self, idx: int) -> np.ndarray:
+        """World pose of any frame: keyframe pose ∘ stored relative pose
+        (local-frame propagation, ref: MultiViewGeometry.cpp:1149-1156)."""
+        f = self.frames[idx]
+        kf_pose = self.poses[f.keyframe_slot]
+        if f.is_keyframe:
+            return kf_pose
+        return np.asarray(kf_pose @ f.rel_to_keyframe)
+
+    def trajectory(self) -> np.ndarray:
+        return np.stack([self.frame_pose(i) for i in range(len(self.frames))])
+
+    # ------------------------------------------------------------ edges
+
+    def _add_edge(self, kf_i_slot: int, kf_j_slot: int, kp_ref: Keypoints,
+                  kp_src: Keypoints, res: TwoViewResult) -> None:
+        """Pre-integrate a successful registration into the edge store
+        (ref: FrameCorrespondence::preIntegrateWithHuberNorm
+        MultiViewGeometry.h:245-311; edges appended GCSLAM.cpp:178-183)."""
+        if self.n_edges >= self.config.ba.max_edges:
+            return
+        p = kp_ref.points3d[res.match_idx]
+        q = kp_src.points3d
+        x = se3.transform_points(res.pose, q)
+        rn = jnp.linalg.norm(x - p, axis=-1)
+        w = res.inliers.astype(jnp.float32) * huber_weights(
+            rn, self.config.ba.huber_delta)
+        s_w, s_p, s_q, s_pp, s_qq, s_pq = fastba.preintegrate_edge(p, q, w)
+        e = self.n_edges
+        self.edges = self.edges._replace(
+            kf_i=self.edges.kf_i.at[e].set(kf_i_slot),
+            kf_j=self.edges.kf_j.at[e].set(kf_j_slot),
+            s_w=self.edges.s_w.at[e].set(s_w),
+            s_p=self.edges.s_p.at[e].set(s_p),
+            s_q=self.edges.s_q.at[e].set(s_q),
+            s_pp=self.edges.s_pp.at[e].set(s_pp),
+            s_qq=self.edges.s_qq.at[e].set(s_qq),
+            s_pq=self.edges.s_pq.at[e].set(s_pq),
+            valid=self.edges.valid.at[e].set(True),
+        )
+        self.n_edges += 1
+
+    def _run_ba(self) -> None:
+        """FastBA over all keyframes (ref: optimizeKeyFrameMap
+        MultiViewGeometry.cpp:1209-1217 called at every new keyframe)."""
+        n_kf = len(self.keyframes)
+        if n_kf < 2 or self.n_edges < 1:
+            return
+        bucket = _next_bucket(n_kf)
+        poses = jnp.asarray(self.poses[:bucket])
+        active = jnp.asarray(np.arange(bucket) < n_kf)
+        # edge slice in a static-size bucket
+        e_bucket = _next_bucket(self.n_edges, lo=16)
+        edges = jax.tree.map(lambda a: a[:e_bucket], self.edges)
+        new_poses, edges, errs = fastba.optimize(
+            poses, edges, bucket, active, self.config.ba)
+        self.last_ba_errors = errs
+        self.poses[:bucket] = np.asarray(new_poses)
+        # write back pruned-edge validity
+        self.edges = self.edges._replace(
+            valid=self.edges.valid.at[:e_bucket].set(edges.valid))
+
+    # ------------------------------------------------------------ keyframes
+
+    def _promote_keyframe(self, frame: FrameRecord, kp: Keypoints,
+                          pose_world: np.ndarray) -> KeyframeRecord:
+        slot = len(self.keyframes)
+        self.poses[slot] = pose_world
+        kf = KeyframeRecord(frame_index=frame.index, slot=slot,
+                            origin_index=frame.origin_index)
+        self.keyframes.append(kf)
+        frame.is_keyframe = True
+        frame.keyframe_slot = slot
+        frame.rel_to_keyframe = np.eye(4, dtype=np.float32)
+        frame.keypoints = kp
+        return kf
+
+    def _update_keyframe(self, frame: FrameRecord, kp: Keypoints,
+                         tracked: Optional[TwoViewResult]) -> None:
+        """New-keyframe path: loop-closure candidates + registrations +
+        edge insertion + FastBA (ref: GCSLAM.cpp:52-185 update_keyframe)."""
+        sims = self.db.similarity(kp.desc, kp.valid)
+        rows = loopclosure.select_candidates(
+            sims, self.cfg.salient_score_threshold, self.cfg.max_candidates)
+        last_slot = self.last_keyframe.slot
+        # DB rows → keyframe slots; previous keyframe always considered
+        cand_slots = [last_slot]
+        for r in rows:
+            s = self.db.kf_ids[r]
+            if s not in cand_slots:
+                cand_slots.append(s)
+        cand_slots = cand_slots[: self.cfg.max_candidates]
+
+        results = []
+        for slot in cand_slots:
+            kf_c = self.keyframes[slot]
+            if kf_c.slot == last_slot and tracked is not None:
+                results.append((kf_c, tracked, self.frames[kf_c.frame_index].keypoints))
+                continue
+            kp_ref = self.frames[kf_c.frame_index].keypoints
+            res = register_frames(kp_ref, kp, self._split_key(),
+                                  self.cfg, self.intr)
+            if bool(res.success):
+                results.append((kf_c, res, kp_ref))
+
+        if not results:
+            # registration failed everywhere → new map origin
+            # (ref: GCSLAM.cpp:149-161)
+            self.origin_count += 1
+            frame.origin_index = self.origin_count - 1
+            frame.tracking_success = False
+            pose = self.poses[last_slot]  # continue from last pose
+            kf = self._promote_keyframe(frame, kp, pose)
+            self.fail_count = 0
+            return
+
+        # pose from the minimum-disparity successful match
+        # (ref: GCSLAM.cpp:124-147)
+        best = min(results, key=lambda r: float(r[1].disparity))
+        kf_best, res_best, _ = best
+        pose_world = self.poses[kf_best.slot] @ np.asarray(res_best.pose)
+        frame.origin_index = kf_best.origin_index
+        frame.tracking_success = True
+        kf = self._promote_keyframe(frame, kp, pose_world.astype(np.float32))
+
+        for kf_c, res, kp_ref in results:
+            self._add_edge(kf_c.slot, kf.slot, kp_ref, kp, res)
+        kf.reg_success_count = len(results)
+
+        # descriptor DB insertion gated on match count
+        # (ref: GCSLAM.cpp:171-177 — skip if ≥4 successful matches)
+        if len(results) < 4:
+            self.db.add(kf.slot, kp.desc, kp.valid)
+
+        self._run_ba()
+        self.fail_count = 0
+
+    # ------------------------------------------------------------ main entry
+
+    def update_frame(self, gray: jnp.ndarray, depth: jnp.ndarray,
+                     timestamp: float = 0.0,
+                     blurred: bool = False) -> FrameRecord:
+        """Track one frame (ref: GCSLAM.cpp:256-356 update_frame)."""
+        frame = FrameRecord(index=len(self.frames), timestamp=timestamp,
+                            blurred=blurred)
+        self.frames.append(frame)
+        kp = extract_features(gray, depth, self.cfg, self.intr)
+
+        if not self.keyframes:
+            frame.tracking_success = True
+            kf = self._promote_keyframe(frame, kp, np.eye(4, dtype=np.float32))
+            self.db.add(kf.slot, kp.desc, kp.valid)
+            return frame
+
+        last_kf = self.last_keyframe
+        kp_ref = self.frames[last_kf.frame_index].keypoints
+        res = register_frames(kp_ref, kp, self._split_key(), self.cfg, self.intr)
+        success = bool(res.success)
+
+        promote = False
+        if success:
+            disparity = float(res.disparity)
+            scale = float(res.scale_change)
+            if (disparity > self.cfg.minimum_disparity
+                    or scale > self.cfg.scale_change_ratio):
+                promote = not blurred
+        else:
+            self.fail_count += 1
+            if self.fail_count >= self.cfg.max_tracking_failures:
+                promote = True
+
+        if success and not promote:
+            frame.tracking_success = True
+            frame.is_keyframe = False
+            frame.keyframe_slot = last_kf.slot
+            frame.rel_to_keyframe = np.asarray(res.pose)
+            frame.origin_index = last_kf.origin_index
+            last_kf.local_frames.append(frame.index)
+            self.fail_count = 0
+            return frame
+
+        if promote:
+            self._update_keyframe(frame, kp, res if success else None)
+            return frame
+
+        # tracking failed but not yet promoting: keep last pose
+        frame.tracking_success = False
+        frame.is_keyframe = False
+        frame.keyframe_slot = last_kf.slot
+        frame.rel_to_keyframe = np.eye(4, dtype=np.float32)
+        frame.origin_index = last_kf.origin_index
+        return frame
+
+    def final_ba(self) -> None:
+        """Final global optimization (ref: GCSLAM.h:32-39 finalBA)."""
+        self._run_ba()

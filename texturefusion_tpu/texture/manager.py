@@ -1,0 +1,193 @@
+"""Texture manager: view selection → patches → atlas → color compensation.
+
+Host orchestration mirroring the texture stages of the reference's map
+cycle (ref: GCFusion/MobileFusion.cpp:330-384 — wrong-mapping datacost
+removal :330-343, texManager updates :356-359, view_selection :362-369,
+GeneratePatches :374, CompensateColor :380, UpdateAtlas :382), driving the
+batched device kernels in texture/{mrf,patch,color}.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from texturefusion_tpu.config import PipelineConfig
+from texturefusion_tpu.core import camera as cam
+from texturefusion_tpu.texture import color as color_ops
+from texturefusion_tpu.texture import patch as patch_ops
+from texturefusion_tpu.texture.atlas import Atlas
+from texturefusion_tpu.texture.mrf import ViewSelector
+
+
+def _bucket(n: int, lo: int = 64) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class ChunkTexture:
+    __slots__ = ("label", "atlas_uv", "uv_valid", "color_adjust", "wrong")
+
+    def __init__(self):
+        self.label = -1
+        self.atlas_uv: Optional[np.ndarray] = None     # [P, 2] in [0,1]
+        self.uv_valid: Optional[np.ndarray] = None     # [P]
+        self.color_adjust: Optional[np.ndarray] = None  # [P, 3]
+        self.wrong = False
+
+
+class TextureManager:
+    def __init__(self, config: PipelineConfig):
+        self.config = config
+        self.cfg = config.texture
+        self.intr = cam.Intrinsics.from_config(config.camera)
+        self.selector = ViewSelector(
+            max_labels=self.cfg.max_labels,
+            potts_weight=self.cfg.mrf_potts_weight,
+            edge_weight=self.cfg.mrf_edge_weight,
+            sweeps=self.cfg.mrf_sweeps)
+        self.atlas = Atlas(self.cfg, config.tsdf.voxel_resolution)
+        self.chunk_tex: Dict[int, ChunkTexture] = {}
+
+    # ------------------------------------------------------------- cycle
+
+    def update(self, volume, mesher, kf_states: Dict[int, object],
+               newest_kf: int, remeshed: Optional[set] = None) -> None:
+        """One texture cycle over the current mesh."""
+        adjacency = mesher.chunk_adjacency()
+        if not adjacency:
+            return
+        labels = self.selector.select(volume.observations, adjacency,
+                                      volume.ids, newest_kf)
+
+        # chunks needing patch regeneration: label changed or remeshed
+        todo: Dict[int, list] = {}
+        for slot, kf in labels.items():
+            if kf not in kf_states:
+                continue
+            tex = self.chunk_tex.get(slot)
+            if (tex is None or tex.label != kf
+                    or (remeshed is not None and slot in remeshed)):
+                todo.setdefault(kf, []).append(slot)
+
+        for kf, slots in todo.items():
+            self._generate_patches(kf, slots, mesher, kf_states[kf], volume)
+
+        self._compensate_color(mesher, kf_states)
+
+    def _generate_patches(self, kf: int, slots, mesher, kf_state, volume) -> None:
+        """Project chunk meshes into keyframe kf, blit atlas patches
+        (ref: Chisel.cpp:149-189; Patch.cpp:40-108)."""
+        meshes = [mesher.meshes[s] for s in slots if s in mesher.meshes]
+        slots = [s for s in slots if s in mesher.meshes]
+        if not slots:
+            return
+        pmax = _bucket(max(len(m[0]) for m in meshes))
+        u = len(slots)
+        verts = np.zeros((u, pmax, 3), np.float32)
+        valid = np.zeros((u, pmax), bool)
+        vcol = np.zeros((u, pmax, 3), np.float32)
+        for i, (v, f, c, n) in enumerate(meshes):
+            k = len(v)
+            verts[i, :k] = v
+            valid[i, :k] = True
+            vcol[i, :k] = c
+        batch = patch_ops.project_patches(
+            jnp.asarray(verts), jnp.asarray(valid), jnp.asarray(vcol),
+            jnp.asarray(kf_state.pose), jnp.asarray(kf_state.rgb),
+            jnp.asarray(kf_state.depth), self.intr, self.cfg)
+        uv = np.asarray(batch.uv)
+        uv_ok = np.asarray(batch.uv_valid)
+        bmin = np.asarray(batch.bbox_min)
+        bmax = np.asarray(batch.bbox_max)
+        wrong = np.asarray(batch.wrong_mapping)
+
+        for i, slot in enumerate(slots):
+            tex = self.chunk_tex.setdefault(slot, ChunkTexture())
+            if wrong[i]:
+                # wrong mapping: poison this keyframe's observation so the
+                # MRF picks another view next cycle
+                # (ref: MobileFusion.cpp:330-343)
+                obs = volume.observations.get(slot)
+                if obs is not None and kf in obs:
+                    obs[kf] = -1e11
+                tex.wrong = True
+                continue
+            rec = self.atlas.add_or_update_patch(
+                slot, kf, bmin[i], bmax[i], kf_state.rgb)
+            if rec is None:
+                return  # atlas full — stop texturing (ref: Atlas overflow)
+            n_verts = len(meshes[i][0])
+            tex.label = kf
+            tex.wrong = False
+            tex.atlas_uv = self.atlas.atlas_uv(slot, uv[i, :n_verts])
+            tex.uv_valid = uv_ok[i, :n_verts]
+
+    def _compensate_color(self, mesher, kf_states) -> None:
+        """Global color transfer per keyframe cluster
+        (ref: Chisel.cpp:198-286 CompensateColor)."""
+        samples_tex, samples_vox, clusters, owners = [], [], [], []
+        kf_row = {}
+        for slot, tex in self.chunk_tex.items():
+            if tex.label < 0 or tex.wrong or slot not in mesher.meshes:
+                continue
+            v, f, c, n = mesher.meshes[slot]
+            kf_state = kf_states.get(tex.label)
+            if kf_state is None or tex.atlas_uv is None:
+                continue
+            if tex.label not in kf_row:
+                kf_row[tex.label] = len(kf_row)
+            # sample texture colors at the patch uvs from the atlas source
+            # (keyframe image) — reuse stored per-vertex sampled color via
+            # re-projection is equivalent; here sample the atlas directly
+            n_verts = min(len(v), len(tex.atlas_uv))
+            px = (tex.atlas_uv[:n_verts, 0] * self.atlas.size).astype(int)
+            py = ((1.0 - tex.atlas_uv[:n_verts, 1]) * self.atlas.size).astype(int)
+            px = np.clip(px, 0, self.atlas.size - 1)
+            py = np.clip(py, 0, self.atlas.size - 1)
+            tex_c = self.atlas.image[py, px].astype(np.float32) / 255.0
+            samples_tex.append(tex_c)
+            samples_vox.append(c[:n_verts])
+            clusters.append(np.full(n_verts, kf_row[tex.label], np.int32))
+            owners.append((slot, n_verts, tex.uv_valid[:n_verts]))
+        if not samples_tex:
+            return
+        tex_all = np.concatenate(samples_tex)
+        vox_all = np.concatenate(samples_vox)
+        cl_all = np.concatenate(clusters)
+        w_all = np.concatenate([o[2].astype(np.float32) for o in owners])
+        deltas = np.asarray(color_ops.compensate(
+            jnp.asarray(tex_all), jnp.asarray(vox_all), jnp.asarray(w_all),
+            jnp.asarray(cl_all), max(len(kf_row), 1)))
+        pos = 0
+        for slot, n_verts, _ in owners:
+            self.chunk_tex[slot].color_adjust = deltas[pos:pos + n_verts]
+            pos += n_verts
+
+    # ------------------------------------------------------------- export
+
+    def export_textured(self, mesher, out_dir: str, name: str = "model") -> str:
+        """Textured OBJ+MTL+PNG of all patched chunks
+        (ref: Atlas.cpp:93-179)."""
+        vs, fs, uvs = [], [], []
+        base = 0
+        for slot in sorted(self.chunk_tex):
+            tex = self.chunk_tex[slot]
+            if tex.atlas_uv is None or slot not in mesher.meshes:
+                continue
+            v, f, c, n = mesher.meshes[slot]
+            k = min(len(v), len(tex.atlas_uv))
+            vs.append(v[:k])
+            uvs.append(tex.atlas_uv[:k])
+            f_ok = f[(f < k).all(axis=1)]
+            fs.append(f_ok + base)
+            base += k
+        if not vs:
+            raise RuntimeError("no textured chunks to export")
+        return self.atlas.save_textured_model(
+            out_dir, np.concatenate(vs), np.concatenate(fs),
+            np.concatenate(uvs), name)

@@ -1,0 +1,57 @@
+"""Named-timer registry for per-stage instrumentation.
+
+Replaces open_chisel's Stopwatch TICK/TOCK singleton
+(ref: 3rd_party/open_chisel/Stopwatch.h:48-110, printed per map cycle at
+MobileFusion.cpp:108, aggregated into stat.txt at main.cpp:223-235).
+Device work is asynchronous under JAX, so wall times here measure
+host-side dispatch+sync unless callers block; use jax.profiler traces for
+device-side timelines (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from typing import Dict
+
+
+class Stopwatch:
+    def __init__(self):
+        self.totals: Dict[str, float] = defaultdict(float)
+        self.counts: Dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def time(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.totals[name] += dt
+            self.counts[name] += 1
+
+    def tick(self, name: str) -> None:
+        self.totals[f"_tick_{name}"] = time.perf_counter()
+
+    def tock(self, name: str) -> None:
+        t0 = self.totals.pop(f"_tick_{name}", None)
+        if t0 is not None:
+            self.totals[name] += time.perf_counter() - t0
+            self.counts[name] += 1
+
+    def averages_ms(self) -> Dict[str, float]:
+        return {k: 1000.0 * self.totals[k] / max(self.counts[k], 1)
+                for k in self.totals if not k.startswith("_tick_")}
+
+    def report(self) -> str:
+        lines = [f"{k:>16s}: {v:8.2f} ms avg ({self.counts[k]}x)"
+                 for k, v in sorted(self.averages_ms().items())]
+        return "\n".join(lines)
+
+    def reset(self) -> None:
+        self.totals.clear()
+        self.counts.clear()
+
+
+STOPWATCH = Stopwatch()
