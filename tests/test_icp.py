@@ -1,0 +1,56 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from texturefusion_tpu.config import tiny_test_config
+from texturefusion_tpu.core import camera as cam, se3
+from texturefusion_tpu.io import synthetic
+from texturefusion_tpu.ops import preprocess
+from texturefusion_tpu.slam import icp
+
+CFG = tiny_test_config()
+INTR = cam.Intrinsics.from_config(CFG.camera)
+SCENE = synthetic.BoxRoomScene()
+
+
+@pytest.fixture(scope="module")
+def pair():
+    poses = synthetic.orbit_trajectory(8)
+    d0, _ = synthetic.render_frame(SCENE, INTR, jnp.asarray(poses[0]))
+    d1, _ = synthetic.render_frame(SCENE, INTR, jnp.asarray(poses[1]))
+    t_gt = se3.compose(se3.inverse(jnp.asarray(poses[0])), jnp.asarray(poses[1]))
+    n0 = preprocess.extract_normal_map(d0, INTR)
+    return d0, n0, d1, t_gt
+
+
+def test_icp_refines_perturbed_pose(pair):
+    d0, n0, d1, t_gt = pair
+    xi = jnp.asarray(np.asarray([0.01, -0.01, 0.02, 0.01, -0.005, 0.01], np.float32))
+    init = se3.compose(t_gt, se3.se3_exp(xi))
+    res = icp.icp_refine(d0, n0, d1, init, INTR, stride=2, iters=12)
+    assert bool(res.success), (int(res.n_inliers), float(res.rmse))
+    delta = np.asarray(se3.se3_log(se3.compose(se3.inverse(res.pose), t_gt)))
+    init_err = np.linalg.norm(np.asarray(xi))
+    final_err = np.linalg.norm(delta)
+    # point-plane ICP can slide along the scene's dominant planes; require
+    # a solid reduction, not exact recovery
+    assert final_err < init_err * 0.6, (init_err, final_err)
+    assert final_err < 0.015
+
+
+def test_icp_identity_stays(pair):
+    d0, n0, _, _ = pair
+    res = icp.icp_refine(d0, n0, d0, se3.identity(), INTR, stride=2, iters=5)
+    assert bool(res.success)
+    assert np.linalg.norm(np.asarray(se3.se3_log(res.pose))) < 1e-3
+    assert float(res.rmse) < 1e-3
+
+
+def test_icp_correspondences_at_gt(pair):
+    d0, n0, d1, t_gt = pair
+    p, q, w = icp.icp_correspondences(d0, d1, t_gt, INTR, stride=4)
+    n = float(jnp.sum(w))
+    assert n > 100
+    err = jnp.linalg.norm(se3.transform_points(t_gt, q) - p, axis=-1)
+    masked = np.asarray(jnp.where(w > 0, err, 0.0))
+    assert masked.sum() / n < 0.02

@@ -130,12 +130,18 @@ class TSDFVolume:
         """Chunk IDs intersecting this frame's truncation band → slots
         (ref: Chisel.h:103-182 PrepareIntersectChunks). Allocates new slots
         unless allocate=False (de-integration touches existing only)."""
-        ids, mask = tsdf_ops.candidate_chunk_coords(
-            depth, cam_to_world, self.intr, self.cfg)
-        ids = np.asarray(ids)[np.asarray(mask)]
-        if len(ids) == 0:
+        # on-device sort-dedup: only [max_out, 3] ids + count cross the link.
+        # Discovery stride scales with resolution: at VGA a stride-2 pixel
+        # footprint is far below the chunk extent, so nothing is missed.
+        stride = max(1, self.intr.width // 320)
+        ids, n = tsdf_ops.candidate_chunks_unique(
+            depth, cam_to_world, self.intr, self.cfg, stride=stride,
+            max_out=self.cfg.max_update_chunks * 4)
+        n = int(n)
+        if n == 0:
             return np.zeros((0,), np.int64)
-        # dedup + slot assignment in one native pass (no np.unique)
+        ids = np.asarray(ids)[:n]
+        # slot assignment (+dedup safety) in one native pass
         slots, new_slots = self.alloc.touch(ids, allocate=allocate)
         self._register_new(new_slots)
         return slots[slots >= 0]
@@ -184,13 +190,11 @@ class TSDFVolume:
         for start in range(0, len(all_slots), self.cfg.max_update_chunks):
             chunk_slots = all_slots[start:start + self.cfg.max_update_chunks]
             idx, active = self._padded(chunk_slots)
-            sub = tsdf_ops.ChunkBatch(*(a[idx] for a in self.batch))
-            sub, quality, updated = tsdf_ops.integrate_chunks(
-                sub, self.origins[idx], active, depth, rgb, quality_map,
-                cam_to_world, jnp.float32(sign), self.intr, self.cfg,
-                with_color=with_color)
-            self.batch = tsdf_ops.ChunkBatch(
-                *(full.at[idx].set(part) for full, part in zip(self.batch, sub)))
+            # fused gather→update→scatter: ONE dispatch, donated buffers
+            self.batch, quality, updated = tsdf_ops.integrate_frame_fused(
+                self.batch, self.origins, idx, active, depth, rgb,
+                quality_map, cam_to_world, jnp.float32(sign), self.intr,
+                self.cfg, with_color=with_color)
 
             updated_np = np.asarray(updated)
             if with_color and keyframe_id is not None:

@@ -62,10 +62,21 @@ class IncrementalMesher:
         vol = self.volume
         nbr = self._neighbor_slots(slots)
         origins = vol.ids[slots].astype(np.float32) * vol.extent
+        # pad the batch to a size bucket so the mesher compiles once per
+        # size class instead of once per distinct dirty-chunk count
+        n_real = len(slots)
+        bucket = 32
+        while bucket < n_real:
+            bucket *= 2
+        pad = bucket - n_real
+        trash = vol.cfg.capacity
+        slots_p = np.concatenate([slots, np.full(pad, trash, np.int64)])
+        nbr_p = np.concatenate([nbr, np.full((pad, 8), trash, np.int64)])
+        origins_p = np.concatenate([origins, np.zeros((pad, 3), np.float32)])
         mesh = mc.mesh_chunks(
             vol.batch.sdf, vol.batch.weight, vol.batch.color,
             vol.batch.color_count,
-            jnp.asarray(slots), jnp.asarray(nbr), jnp.asarray(origins),
+            jnp.asarray(slots_p), jnp.asarray(nbr_p), jnp.asarray(origins_p),
             vol.cfg.chunk_size, vol.cfg.voxel_resolution)
         pos = np.asarray(mesh.positions)
         nrm = np.asarray(mesh.normals)

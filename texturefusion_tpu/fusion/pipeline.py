@@ -73,19 +73,25 @@ class ReconstructionPipeline:
         (ref: main.cpp:102-211 per-frame loop)."""
         intr = self.intr
         with STOPWATCH.time("preprocess"):
-            depth = preprocess.frame_preprocess(depth_raw, intr)
-            normals = preprocess.extract_normal_map(depth, intr)
-            depth_refined = preprocess.refine_depth_with_normals(depth, normals, intr)
-            gray = preprocess.rgb_to_gray(rgb) * 255.0
+            # whole preprocessing chain = one compiled dispatch; compact
+            # uint8/uint16 inputs are converted on device
+            depth_refined, normals, quality, gray, _blur, rgb = \
+                preprocess.preprocess_bundle(
+                    depth_raw, rgb, intr,
+                    depth_scale=self.config.camera.depth_scale)
+
+        # blur gate blocks keyframe promotion (ref: BasicAPI.cpp:1256-1266,
+        # GCSLAM.cpp:315); threshold ≤ 0 disables (synthetic scenes score
+        # below the real-image threshold)
+        blur_thresh = self.config.tracking.blur_threshold
+        blurred = bool(blur_thresh > 0 and float(_blur) < blur_thresh)
 
         with STOPWATCH.time("tracking"):
-            frame = self.slam.update_frame(gray, depth_refined, timestamp)
+            frame = self.slam.update_frame(gray, depth_refined, timestamp,
+                                           blurred=blurred)
         self.stats["frames"] += 1
 
         if frame.is_keyframe:
-            with STOPWATCH.time("quality"):
-                quality = preprocess.observation_quality_map(
-                    rgb, depth_refined, normals, intr)
             self.kf_states[frame.keyframe_slot] = KeyframeFusionState(
                 kf_slot=frame.keyframe_slot,
                 frame_index=frame.index,
@@ -141,15 +147,18 @@ class ReconstructionPipeline:
                 else self.slam.keyframe_pose(st.kf_slot))
         pose_j = jnp.asarray(pose)
         kf_id = st.kf_slot
-        self.volume.integrate_frame(
+        slots = self.volume.integrate_frame(
             jnp.asarray(st.depth), jnp.asarray(st.rgb),
             jnp.asarray(st.quality), pose_j, keyframe_id=kf_id, sign=sign)
-        # local frames: depth-only at subsampled rate
+        # local frames: depth-only, reusing the keyframe's chunk set — the
+        # local frames view (almost) the same volume (tracked below the
+        # disparity gate), so re-discovery per frame is redundant
         # (ref: MobileFusion.cpp:187-203)
         for d, rel in zip(st.local_depths, st.local_rel_poses):
             self.volume.integrate_frame(
                 jnp.asarray(d), None, None,
-                jnp.asarray(pose @ rel), keyframe_id=None, sign=sign)
+                jnp.asarray(pose @ rel), keyframe_id=None, sign=sign,
+                slots=slots)
         if sign > 0:
             st.integrated_pose = np.asarray(pose)
             st.integrated = True

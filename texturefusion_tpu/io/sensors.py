@@ -42,7 +42,8 @@ class DatasetSensor(SensorBase):
 
     def frames(self):
         for i in range(len(self.seq)):
-            depth, rgb = self.seq.load_frame(i)
+            # compact formats; preprocess_bundle converts on device
+            depth, rgb = self.seq.load_frame_raw(i)
             yield float(self.seq.timestamps[i]), depth, rgb
 
 

@@ -32,13 +32,20 @@ class TumSequence:
 
     def load_frame(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (depth_meters[H,W] f32, rgb[H,W,3] f32 in [0,1])."""
+        depth_raw, rgb_raw = self.load_frame_raw(i)
+        return (depth_raw.astype(np.float32) / self.camera.depth_scale,
+                rgb_raw.astype(np.float32) / 255.0)
+
+    def load_frame_raw(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Compact sensor formats (depth uint16, rgb uint8) — preferred
+        for feeding the pipeline: 3× less host→device traffic, converted
+        on device by preprocess_bundle."""
         import cv2
 
         rgb = cv2.imread(self.rgb_files[i], cv2.IMREAD_COLOR)
-        rgb = cv2.cvtColor(rgb, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+        rgb = cv2.cvtColor(rgb, cv2.COLOR_BGR2RGB)
         depth_raw = cv2.imread(self.depth_files[i], cv2.IMREAD_UNCHANGED)
-        depth = depth_raw.astype(np.float32) / self.camera.depth_scale
-        return depth, rgb
+        return depth_raw.astype(np.uint16), rgb
 
 
 def _parse_calib(path: str) -> CameraConfig:

@@ -201,3 +201,28 @@ def frame_preprocess(depth_raw: jnp.ndarray, intr: cam.Intrinsics,
     (ref: framePreprocess BasicAPI.cpp:942-997)."""
     d = depth_clamp(depth_raw, intr.near, intr.far)
     return bilateral_filter(d, radius=bilateral_radius)
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "depth_scale"))
+def preprocess_bundle(depth_raw: jnp.ndarray, rgb: jnp.ndarray,
+                      intr: cam.Intrinsics, depth_scale: float = 1.0):
+    """The whole per-frame preprocessing chain as ONE compiled program —
+    a single device dispatch per frame (critical when the accelerator is
+    reached through a high-latency link). Returns
+    (depth_refined, normals, quality, gray255, blur_score).
+
+    Accepts compact sensor formats to minimize host→device traffic:
+    uint16 depth (divided by depth_scale) and uint8 rgb are converted on
+    device; float inputs pass through (depth_scale then ignored for rgb).
+    """
+    if depth_raw.dtype != jnp.float32:
+        depth_raw = depth_raw.astype(jnp.float32) / depth_scale
+    if rgb.dtype != jnp.float32:
+        rgb = rgb.astype(jnp.float32) / 255.0
+    depth = frame_preprocess(depth_raw, intr)
+    normals = extract_normal_map(depth, intr)
+    depth_refined = refine_depth_with_normals(depth, normals, intr)
+    quality = observation_quality_map(rgb, depth_refined, normals, intr)
+    gray = rgb_to_gray(rgb) * 255.0
+    blur = laplacian_blurriness(gray)
+    return depth_refined, normals, quality, gray, blur, rgb

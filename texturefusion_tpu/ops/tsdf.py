@@ -184,6 +184,86 @@ def candidate_chunk_coords(
     return ids, mask
 
 
+# Chunk-ID sort keys are packed 3×10 bits into int32 (x64 is disabled on
+# TPU): chunk coords must lie in ±512, i.e. maps up to ±512·chunk_extent
+# (±82m at 2cm voxels). Larger scenes should re-base chunk IDs around a
+# moving map origin.
+_KEY_BITS = 10
+_KEY_OFF = 1 << (_KEY_BITS - 1)
+_KEY_SENTINEL = jnp.iinfo(jnp.int32).max
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("intr", "cfg", "stride", "n_band", "max_out"))
+def candidate_chunks_unique(
+    depth: jnp.ndarray,
+    cam_to_world: jnp.ndarray,
+    intr: cam.Intrinsics,
+    cfg: TSDFConfig,
+    stride: int = 1,
+    n_band: int = 5,
+    max_out: int = 4096,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """candidate_chunk_coords + ON-DEVICE dedup via sort-compaction.
+
+    The raw candidate stream is ~1.5M IDs per VGA frame; transferring it
+    to the host costs more than the whole voxel update. Here IDs are
+    packed to int64 keys, sorted on device, compacted to the unique
+    prefix, and only [max_out, 3] ids + a count cross the link.
+    Returns (ids [max_out, 3] int32, n_unique scalar). Overflow beyond
+    max_out is dropped (callers can check n_unique == max_out).
+    """
+    ids, mask = candidate_chunk_coords(depth, cam_to_world, intr, cfg,
+                                       stride=stride, n_band=n_band)
+    x = jnp.clip(ids[:, 0] + _KEY_OFF, 0, 2 * _KEY_OFF - 1).astype(jnp.int32)
+    y = jnp.clip(ids[:, 1] + _KEY_OFF, 0, 2 * _KEY_OFF - 1).astype(jnp.int32)
+    z = jnp.clip(ids[:, 2] + _KEY_OFF, 0, 2 * _KEY_OFF - 1).astype(jnp.int32)
+    in_range = (jnp.abs(ids) < _KEY_OFF).all(axis=-1)
+    key = (x << (2 * _KEY_BITS)) | (y << _KEY_BITS) | z
+    key = jnp.where(mask & in_range, key, _KEY_SENTINEL)
+    skey = jnp.sort(key)
+    first = jnp.concatenate([jnp.asarray([True]), skey[1:] != skey[:-1]])
+    first = first & (skey != _KEY_SENTINEL)
+    pos = jnp.cumsum(first) - 1
+    dest = jnp.where(first & (pos < max_out), pos, max_out)
+    out = jnp.full((max_out + 1,), _KEY_SENTINEL, jnp.int32)
+    out = out.at[dest].min(jnp.where(first, skey, _KEY_SENTINEL))[:max_out]
+    n = jnp.minimum(jnp.sum(first), max_out)
+    mask21 = (1 << _KEY_BITS) - 1
+    ox = ((out >> (2 * _KEY_BITS)) & mask21) - _KEY_OFF
+    oy = ((out >> _KEY_BITS) & mask21) - _KEY_OFF
+    oz = (out & mask21) - _KEY_OFF
+    return jnp.stack([ox, oy, oz], axis=-1).astype(jnp.int32), n
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "cfg", "with_color"),
+                   donate_argnames=("batch",))
+def integrate_frame_fused(
+    batch: ChunkBatch,             # FULL slot arrays [S+1, ...] (donated)
+    origins_full: jnp.ndarray,     # [S+1, 3]
+    idx: jnp.ndarray,              # [U] slot indices (trash-padded)
+    active: jnp.ndarray,           # [U]
+    depth: jnp.ndarray,
+    rgb: jnp.ndarray,
+    quality_map: jnp.ndarray,
+    cam_to_world: jnp.ndarray,
+    sign: jnp.ndarray,
+    intr: cam.Intrinsics,
+    cfg: TSDFConfig,
+    with_color: bool = True,
+) -> Tuple[ChunkBatch, jnp.ndarray, jnp.ndarray]:
+    """Gather chunk rows, run the voxel update, scatter back — one
+    compiled program, one dispatch, buffers donated (in-place on device).
+    """
+    sub = ChunkBatch(*(a[idx] for a in batch))
+    sub, quality, updated = integrate_chunks(
+        sub, origins_full[idx], active, depth, rgb, quality_map,
+        cam_to_world, sign, intr, cfg, with_color=with_color)
+    out = ChunkBatch(*(full.at[idx].set(part)
+                       for full, part in zip(batch, sub)))
+    return out, quality, updated
+
+
 def make_empty_batch(u: int, v: int, dtype=jnp.float32) -> ChunkBatch:
     return ChunkBatch(
         sdf=jnp.full((u, v), RESET_SDF, dtype),

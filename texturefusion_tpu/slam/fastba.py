@@ -61,6 +61,37 @@ def preintegrate_edge(p: jnp.ndarray, q: jnp.ndarray, w: jnp.ndarray
     return s_w, s_p, s_q, s_pp, s_qq, s_pq
 
 
+@jax.jit
+def preintegrate_from_registration(p: jnp.ndarray, q: jnp.ndarray,
+                                   inliers: jnp.ndarray, pose: jnp.ndarray,
+                                   huber_delta: jnp.ndarray):
+    """Huber-weighted pre-integration of a registration result — the
+    residual weighting + moment sums as one compiled program
+    (ref: preIntegrateWithHuberNorm MultiViewGeometry.h:245-311)."""
+    x = se3.transform_points(pose, q)
+    rn = jnp.linalg.norm(x - p, axis=-1)
+    w = inliers * jnp.where(rn <= huber_delta, 1.0,
+                            huber_delta / jnp.maximum(rn, 1e-12))
+    return preintegrate_edge(p, q, w)
+
+
+@functools.partial(jax.jit, donate_argnames=("edges",))
+def append_edge(edges: EdgeSums, e: jnp.ndarray, kf_i: int, kf_j: int,
+                s_w, s_p, s_q, s_pp, s_qq, s_pq) -> EdgeSums:
+    """Write one edge's sums into slot `e` (single dispatch, donated)."""
+    return EdgeSums(
+        kf_i=edges.kf_i.at[e].set(kf_i),
+        kf_j=edges.kf_j.at[e].set(kf_j),
+        s_w=edges.s_w.at[e].set(s_w),
+        s_p=edges.s_p.at[e].set(s_p),
+        s_q=edges.s_q.at[e].set(s_q),
+        s_pp=edges.s_pp.at[e].set(s_pp),
+        s_qq=edges.s_qq.at[e].set(s_qq),
+        s_pq=edges.s_pq.at[e].set(s_pq),
+        valid=edges.valid.at[e].set(True),
+    )
+
+
 def make_edges(capacity: int) -> EdgeSums:
     z3 = jnp.zeros((capacity, 3))
     z33 = jnp.zeros((capacity, 3, 3))

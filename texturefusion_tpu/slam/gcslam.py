@@ -115,23 +115,11 @@ class GCSLAM:
             return
         p = kp_ref.points3d[res.match_idx]
         q = kp_src.points3d
-        x = se3.transform_points(res.pose, q)
-        rn = jnp.linalg.norm(x - p, axis=-1)
-        w = res.inliers.astype(jnp.float32) * huber_weights(
-            rn, self.config.ba.huber_delta)
-        s_w, s_p, s_q, s_pp, s_qq, s_pq = fastba.preintegrate_edge(p, q, w)
-        e = self.n_edges
-        self.edges = self.edges._replace(
-            kf_i=self.edges.kf_i.at[e].set(kf_i_slot),
-            kf_j=self.edges.kf_j.at[e].set(kf_j_slot),
-            s_w=self.edges.s_w.at[e].set(s_w),
-            s_p=self.edges.s_p.at[e].set(s_p),
-            s_q=self.edges.s_q.at[e].set(s_q),
-            s_pp=self.edges.s_pp.at[e].set(s_pp),
-            s_qq=self.edges.s_qq.at[e].set(s_qq),
-            s_pq=self.edges.s_pq.at[e].set(s_pq),
-            valid=self.edges.valid.at[e].set(True),
-        )
+        sums = fastba.preintegrate_from_registration(
+            p, q, res.inliers.astype(jnp.float32), res.pose,
+            jnp.float32(self.config.ba.huber_delta))
+        self.edges = fastba.append_edge(
+            self.edges, jnp.int32(self.n_edges), kf_i_slot, kf_j_slot, *sums)
         self.n_edges += 1
 
     def _run_ba(self) -> None:
@@ -189,13 +177,16 @@ class GCSLAM:
         for slot in cand_slots:
             kf_c = self.keyframes[slot]
             if kf_c.slot == last_slot and tracked is not None:
-                results.append((kf_c, tracked, self.frames[kf_c.frame_index].keypoints))
+                results.append((kf_c, tracked,
+                                self.frames[kf_c.frame_index].keypoints,
+                                np.asarray(tracked.stats)))
                 continue
             kp_ref = self.frames[kf_c.frame_index].keypoints
             res = register_frames(kp_ref, kp, self._split_key(),
                                   self.cfg, self.intr)
-            if bool(res.success):
-                results.append((kf_c, res, kp_ref))
+            stats = np.asarray(res.stats)
+            if stats[0] > 0.5:
+                results.append((kf_c, res, kp_ref, stats))
 
         if not results:
             # registration failed everywhere → new map origin
@@ -210,14 +201,14 @@ class GCSLAM:
 
         # pose from the minimum-disparity successful match
         # (ref: GCSLAM.cpp:124-147)
-        best = min(results, key=lambda r: float(r[1].disparity))
-        kf_best, res_best, _ = best
+        best = min(results, key=lambda r: float(r[3][3]))  # min disparity
+        kf_best, res_best = best[0], best[1]
         pose_world = self.poses[kf_best.slot] @ np.asarray(res_best.pose)
         frame.origin_index = kf_best.origin_index
         frame.tracking_success = True
         kf = self._promote_keyframe(frame, kp, pose_world.astype(np.float32))
 
-        for kf_c, res, kp_ref in results:
+        for kf_c, res, kp_ref, _stats in results:
             self._add_edge(kf_c.slot, kf.slot, kp_ref, kp, res)
         kf.reg_success_count = len(results)
 
@@ -249,12 +240,14 @@ class GCSLAM:
         last_kf = self.last_keyframe
         kp_ref = self.frames[last_kf.frame_index].keypoints
         res = register_frames(kp_ref, kp, self._split_key(), self.cfg, self.intr)
-        success = bool(res.success)
+        # one fetch for all decision scalars (minimizes link roundtrips)
+        stats = np.asarray(res.stats)
+        success = bool(stats[0] > 0.5)
 
         promote = False
         if success:
-            disparity = float(res.disparity)
-            scale = float(res.scale_change)
+            disparity = float(stats[3])
+            scale = float(stats[4])
             if (disparity > self.cfg.minimum_disparity
                     or scale > self.cfg.scale_change_ratio):
                 promote = not blurred

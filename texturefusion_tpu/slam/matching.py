@@ -45,6 +45,9 @@ class TwoViewResult(NamedTuple):
     mean_error: jnp.ndarray   # mean 3D residual over inliers
     disparity: jnp.ndarray    # mean 2D keypoint motion (pixels / width)
     scale_change: jnp.ndarray  # relative mean-depth change
+    stats: jnp.ndarray         # [5] f32 [success, n_inl, err, disp, scale]
+    # `stats` packs the host-decision scalars so control flow costs ONE
+    # device→host fetch instead of five (high-latency links)
 
 
 def kabsch(p: jnp.ndarray, q: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
@@ -230,7 +233,10 @@ def register_frames(kp_ref: Keypoints, kp_src: Keypoints, key: jax.Array,
 
     success = ((n_inl >= cfg.min_matches) & (mean_err < cfg.reproj_3d_threshold * 5)
                & jnp.all(jnp.isfinite(pose)))
+    stats = jnp.stack([success.astype(jnp.float32),
+                       n_inl.astype(jnp.float32), mean_err, disparity,
+                       scale_change])
     return TwoViewResult(pose=pose, success=success, inliers=inl,
                          match_idx=idx, n_inliers=n_inl.astype(jnp.int32),
                          mean_error=mean_err, disparity=disparity,
-                         scale_change=scale_change)
+                         scale_change=scale_change, stats=stats)
