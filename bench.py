@@ -43,21 +43,20 @@ def main():
     poses = synthetic.orbit_trajectory(n_frames)
     # render a subset and cycle through it; poses stay smooth for tracking
     depths, rgbs = synthetic.render_sequence(scene, intr, poses)
-    depths_u16 = [(d * config.camera.depth_scale).astype(np.uint16)
-                  for d in depths]
-    rgbs_u8 = [(c * 255).astype(np.uint8) for c in rgbs]
+    from texturefusion_tpu.ops.preprocess import pack_frame
+    packed = [pack_frame((d * config.camera.depth_scale).astype(np.uint16),
+                         (c * 255).astype(np.uint8))
+              for d, c in zip(depths, rgbs)]
 
     pipe = ReconstructionPipeline(config)
     # warmup: compiles every jit in the frame path (incl. keyframe path)
     for i in range(n_warm):
-        pipe.process_frame(jnp.asarray(depths_u16[i]), jnp.asarray(rgbs_u8[i]),
-                           timestamp=float(i))
+        pipe.process_frame(jnp.asarray(packed[i]), timestamp=float(i))
     jax.block_until_ready(pipe.volume.batch.sdf)
 
     t0 = time.perf_counter()
     for i in range(n_warm, n_frames):
-        pipe.process_frame(jnp.asarray(depths_u16[i]), jnp.asarray(rgbs_u8[i]),
-                           timestamp=float(i))
+        pipe.process_frame(jnp.asarray(packed[i]), timestamp=float(i))
     jax.block_until_ready(pipe.volume.batch.sdf)
     dt = time.perf_counter() - t0
     fps = (n_frames - n_warm) / dt

@@ -111,7 +111,9 @@ def main(argv=None):
     t0 = time.time()
     n = 0
     for ts, depth, rgb in sensor.frames():
-        pipe.process_frame(jnp.asarray(depth), jnp.asarray(rgb), timestamp=ts)
+        pipe.process_frame(jnp.asarray(depth),
+                           None if rgb is None else jnp.asarray(rgb),
+                           timestamp=ts)
         n += 1
         if args.max_frames and n >= args.max_frames:
             break

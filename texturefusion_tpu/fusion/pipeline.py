@@ -45,7 +45,7 @@ class KeyframeFusionState:
     kf_slot: int
     frame_index: int
     depth: np.ndarray              # refined depth (fused from local frames)
-    rgb: np.ndarray
+    rgb: np.ndarray                # uint8 (memory: ~1MB/keyframe at VGA)
     quality: np.ndarray
     local_depths: List[np.ndarray]          # subsampled local-frame depths
     local_rel_poses: List[np.ndarray]       # frame→keyframe relative poses
@@ -67,10 +67,16 @@ class ReconstructionPipeline:
 
     # --------------------------------------------------------------- frames
 
-    def process_frame(self, depth_raw: jnp.ndarray, rgb: jnp.ndarray,
+    def process_frame(self, depth_raw: jnp.ndarray,
+                      rgb: Optional[jnp.ndarray] = None,
                       timestamp: float = 0.0) -> None:
         """Track one frame; fuse at keyframe boundaries
-        (ref: main.cpp:102-211 per-frame loop)."""
+        (ref: main.cpp:102-211 per-frame loop).
+
+        Fastest input: a single packed [H, W, 5] uint8 frame
+        (preprocess.pack_frame) as depth_raw with rgb=None — one
+        host→device transfer per frame. Separate float/u16/u8 depth + rgb
+        arrays also accepted."""
         intr = self.intr
         with STOPWATCH.time("preprocess"):
             # whole preprocessing chain = one compiled dispatch; compact
@@ -82,9 +88,13 @@ class ReconstructionPipeline:
 
         # blur gate blocks keyframe promotion (ref: BasicAPI.cpp:1256-1266,
         # GCSLAM.cpp:315); threshold ≤ 0 disables (synthetic scenes score
-        # below the real-image threshold)
+        # below the real-image threshold). Evaluated LAZILY — the scalar
+        # fetch only happens at promotion time.
         blur_thresh = self.config.tracking.blur_threshold
-        blurred = bool(blur_thresh > 0 and float(_blur) < blur_thresh)
+        if blur_thresh > 0:
+            blurred = lambda: bool(float(_blur) < blur_thresh)  # noqa: E731
+        else:
+            blurred = False
 
         with STOPWATCH.time("tracking"):
             frame = self.slam.update_frame(gray, depth_refined, timestamp,
@@ -96,7 +106,7 @@ class ReconstructionPipeline:
                 kf_slot=frame.keyframe_slot,
                 frame_index=frame.index,
                 depth=np.asarray(depth_refined),
-                rgb=np.asarray(rgb),
+                rgb=(np.asarray(rgb) * 255).astype(np.uint8),
                 quality=np.asarray(quality),
                 local_depths=[], local_rel_poses=[])
             self.stats["keyframes"] += 1
@@ -148,7 +158,8 @@ class ReconstructionPipeline:
         pose_j = jnp.asarray(pose)
         kf_id = st.kf_slot
         slots = self.volume.integrate_frame(
-            jnp.asarray(st.depth), jnp.asarray(st.rgb),
+            jnp.asarray(st.depth),
+            jnp.asarray(st.rgb.astype(np.float32) / 255.0),
             jnp.asarray(st.quality), pose_j, keyframe_id=kf_id, sign=sign)
         # local frames: depth-only, reusing the keyframe's chunk set — the
         # local frames view (almost) the same volume (tracked below the
@@ -238,7 +249,8 @@ class TexturedPipeline(ReconstructionPipeline):
             for slot, st in self.kf_states.items():
                 tex_states[slot] = types.SimpleNamespace(
                     pose=self.slam.keyframe_pose(slot),
-                    rgb=st.rgb, depth=st.depth)
+                    rgb=st.rgb.astype(np.float32) / 255.0,
+                    depth=st.depth)
             self.texture.update(self.volume, self.mesher, tex_states,
                                 newest_kf=len(self.slam.keyframes) - 1,
                                 remeshed=self.mesher.last_remeshed)

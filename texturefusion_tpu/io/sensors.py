@@ -41,10 +41,12 @@ class DatasetSensor(SensorBase):
         self.camera = self.seq.camera
 
     def frames(self):
+        from texturefusion_tpu.ops.preprocess import pack_frame
+
         for i in range(len(self.seq)):
-            # compact formats; preprocess_bundle converts on device
+            # single packed buffer: one host→device transfer per frame
             depth, rgb = self.seq.load_frame_raw(i)
-            yield float(self.seq.timestamps[i]), depth, rgb
+            yield float(self.seq.timestamps[i]), pack_frame(depth, rgb), None
 
 
 class SyntheticSensor(SensorBase):

@@ -203,6 +203,48 @@ def frame_preprocess(depth_raw: jnp.ndarray, intr: cam.Intrinsics,
     return bilateral_filter(d, radius=bilateral_radius)
 
 
+def pack_frame(depth_u16: np.ndarray, rgb_u8: np.ndarray) -> np.ndarray:
+    """Host-side: pack (uint16 depth, uint8 rgb) into one [H, W, 5] uint8
+    buffer so a frame crosses the host→device link in a single transfer.
+    preprocess_bundle(packed, None, ...) unpacks on device."""
+    h, w = depth_u16.shape
+    out = np.empty((h, w, 5), np.uint8)
+    out[..., 0] = depth_u16 & 0xFF
+    out[..., 1] = depth_u16 >> 8
+    out[..., 2:5] = rgb_u8
+    return out
+
+
+def devignette(rgb: jnp.ndarray, intr: cam.Intrinsics,
+               strength: float = 0.3) -> jnp.ndarray:
+    """Radial vignetting correction (ref: DatasetWrapper.hpp optional
+    'radical devignetting'): divide by a cos⁴-style falloff model."""
+    u, v = cam.pixel_grid(intr)
+    r2 = (((u - intr.cx) / intr.fx) ** 2 + ((v - intr.cy) / intr.fy) ** 2)
+    gain = 1.0 + strength * r2 * (1.0 + r2)
+    return jnp.clip(rgb * gain[..., None], 0.0, 1.0)
+
+
+def remove_boundary_depth(depth: jnp.ndarray, iterations: int = 2
+                          ) -> jnp.ndarray:
+    """Erode depth at discontinuity boundaries — flying-pixel removal
+    (ref: MapMaintain.hpp:131-172 removeBoundary)."""
+    d = depth
+    for _ in range(iterations):
+        neighbor_max = d
+        neighbor_min = jnp.where(d > 0, d, jnp.inf)
+        for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+            nb = _shift(d, dy, dx)
+            neighbor_max = jnp.maximum(neighbor_max, nb)
+            neighbor_min = jnp.minimum(neighbor_min,
+                                       jnp.where(nb > 0, nb, jnp.inf))
+        jump = (neighbor_max - jnp.where(jnp.isfinite(neighbor_min),
+                                         neighbor_min, 0.0))
+        keep = (d > 0) & (jump < 0.1 * jnp.maximum(d, 0.5))
+        d = jnp.where(keep, d, 0.0)
+    return d
+
+
 @functools.partial(jax.jit, static_argnames=("intr", "depth_scale"))
 def preprocess_bundle(depth_raw: jnp.ndarray, rgb: jnp.ndarray,
                       intr: cam.Intrinsics, depth_scale: float = 1.0):
@@ -214,7 +256,15 @@ def preprocess_bundle(depth_raw: jnp.ndarray, rgb: jnp.ndarray,
     Accepts compact sensor formats to minimize host→device traffic:
     uint16 depth (divided by depth_scale) and uint8 rgb are converted on
     device; float inputs pass through (depth_scale then ignored for rgb).
+    The most compact path is a single packed [H, W, 5] uint8 frame (see
+    pack_frame) passed as `depth_raw` with rgb=None — ONE transfer per
+    frame (each transfer carries ~50ms fixed cost on tunneled links).
     """
+    if rgb is None:
+        packed = depth_raw
+        depth_raw = (packed[..., 0].astype(jnp.float32)
+                     + packed[..., 1].astype(jnp.float32) * 256.0) / depth_scale
+        rgb = packed[..., 2:5].astype(jnp.float32) / 255.0
     if depth_raw.dtype != jnp.float32:
         depth_raw = depth_raw.astype(jnp.float32) / depth_scale
     if rgb.dtype != jnp.float32:

@@ -174,13 +174,31 @@ def extract_features(gray: jnp.ndarray, depth: jnp.ndarray,
         mask = jnp.zeros((h, w), bool).at[border:h - border, border:w - border].set(True)
         score = jnp.where(mask, score, 0.0)
 
-        k = int(budgets[lvl])
-        flat = score.reshape(-1)
-        resp, idx = jax.lax.top_k(flat, k)
-        vy = (idx // w).astype(jnp.float32)
-        vx = (idx % w).astype(jnp.float32)
+        # per-cell argmax instead of global top-k: pure reductions (no
+        # device sort) and spatially spread keypoints — the role of the
+        # reference's octree distribution (ref: ORBextractor
+        # DistributeOctTree), TPU-shaped
+        # 2× the budget in cells: one winner per cell, so textureless
+        # cells don't starve the level of corners
+        k = int(budgets[lvl]) * 2
+        gy = max(int(np.floor(np.sqrt(k * h / w))), 1)
+        gx = max(k // gy, 1)
+        cell_h = -(-h // gy)
+        cell_w = -(-w // gx)
+        pad_h = gy * cell_h - h
+        pad_w = gx * cell_w - w
+        sp = jnp.pad(score, ((0, pad_h), (0, pad_w)))
+        cells = sp.reshape(gy, cell_h, gx, cell_w).transpose(0, 2, 1, 3)
+        cells = cells.reshape(gy * gx, cell_h * cell_w)
+        ci = jnp.argmax(cells, axis=1)
+        resp = jnp.take_along_axis(cells, ci[:, None], axis=1)[:, 0]
+        cy = jnp.arange(gy * gx) // gx
+        cx = jnp.arange(gy * gx) % gx
+        vy = (cy * cell_h + ci // cell_w).astype(jnp.float32)
+        vx = (cx * cell_w + ci % cell_w).astype(jnp.float32)
         ok = resp > 0
         uv_l = jnp.stack([vx, vy], axis=-1)
+        k = gy * gx
         blur = _box_blur(img)
         ang = _ic_angle(blur, uv_l)
         desc = _descriptors(blur, uv_l, ang)

@@ -224,10 +224,13 @@ class GCSLAM:
 
     def update_frame(self, gray: jnp.ndarray, depth: jnp.ndarray,
                      timestamp: float = 0.0,
-                     blurred: bool = False) -> FrameRecord:
-        """Track one frame (ref: GCSLAM.cpp:256-356 update_frame)."""
+                     blurred=False) -> FrameRecord:
+        """Track one frame (ref: GCSLAM.cpp:256-356 update_frame).
+        `blurred` may be a bool or a zero-arg callable evaluated lazily
+        (only at keyframe-promotion time, avoiding a per-frame device
+        sync for the blur score)."""
         frame = FrameRecord(index=len(self.frames), timestamp=timestamp,
-                            blurred=blurred)
+                            blurred=False)
         self.frames.append(frame)
         kp = extract_features(gray, depth, self.cfg, self.intr)
 
@@ -250,7 +253,9 @@ class GCSLAM:
             scale = float(stats[4])
             if (disparity > self.cfg.minimum_disparity
                     or scale > self.cfg.scale_change_ratio):
-                promote = not blurred
+                is_blurred = blurred() if callable(blurred) else blurred
+                frame.blurred = bool(is_blurred)
+                promote = not is_blurred
         else:
             self.fail_count += 1
             if self.fail_count >= self.cfg.max_tracking_failures:

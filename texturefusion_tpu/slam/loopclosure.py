@@ -48,9 +48,18 @@ class KeyframeDescriptorDB:
         order = rng.permutation(n)
         # prefer valid descriptors in the subsample
         vnp = np.asarray(valid)
-        order = np.concatenate([order[vnp[order]], order[~vnp[order]]])[: self.sub]
+        order = np.concatenate([order[vnp[order]], order[~vnp[order]]])
+        pad_valid = np.ones(len(order), bool)
+        if len(order) < self.sub:
+            pad = np.zeros(self.sub - len(order), np.int64)
+            pad_valid = np.concatenate(
+                [pad_valid, np.zeros(self.sub - len(order), bool)])
+            order = np.concatenate([order, pad])
+        order = order[: self.sub]
+        pad_valid = pad_valid[: self.sub]
         self.desc = self.desc.at[k].set(desc[jnp.asarray(order)])
-        self.valid = self.valid.at[k].set(valid[jnp.asarray(order)])
+        self.valid = self.valid.at[k].set(valid[jnp.asarray(order)]
+                                          & jnp.asarray(pad_valid))
         self.kf_ids.append(kf_id)
 
     def __len__(self) -> int:

@@ -129,7 +129,10 @@ class TextureManager:
 
     def _compensate_color(self, mesher, kf_states) -> None:
         """Global color transfer per keyframe cluster
-        (ref: Chisel.cpp:198-286 CompensateColor)."""
+        (ref: Chisel.cpp:198-286 CompensateColor). Also records the
+        per-keyframe transfer so export can bake it into the atlas (the
+        reference applies it per-vertex in the shader,
+        draw_mesh.vert:29-70)."""
         samples_tex, samples_vox, clusters, owners = [], [], [], []
         kf_row = {}
         for slot, tex in self.chunk_tex.items():
@@ -156,23 +159,59 @@ class TextureManager:
             owners.append((slot, n_verts, tex.uv_valid[:n_verts]))
         if not samples_tex:
             return
-        tex_all = np.concatenate(samples_tex)
-        vox_all = np.concatenate(samples_vox)
-        cl_all = np.concatenate(clusters)
-        w_all = np.concatenate([o[2].astype(np.float32) for o in owners])
-        deltas = np.asarray(color_ops.compensate(
-            jnp.asarray(tex_all), jnp.asarray(vox_all), jnp.asarray(w_all),
-            jnp.asarray(cl_all), max(len(kf_row), 1)))
+        tex_all = jnp.asarray(np.concatenate(samples_tex))
+        vox_all = jnp.asarray(np.concatenate(samples_vox))
+        cl_all = jnp.asarray(np.concatenate(clusters))
+        w_all = jnp.asarray(np.concatenate(
+            [o[2].astype(np.float32) for o in owners]))
+        n_cl = max(len(kf_row), 1)
+        mean_t, cov_t = color_ops.cluster_stats(tex_all, w_all, cl_all, n_cl)
+        mean_v, cov_v = color_ops.cluster_stats(vox_all, w_all, cl_all, n_cl)
+        t_mats = color_ops.transfer_matrices(mean_t, cov_t, mean_v, cov_v)
+        corrected = color_ops.apply_transfer(tex_all, cl_all, t_mats,
+                                             mean_t, mean_v)
+        deltas = np.asarray(corrected - tex_all)
         pos = 0
         for slot, n_verts, _ in owners:
             self.chunk_tex[slot].color_adjust = deltas[pos:pos + n_verts]
             pos += n_verts
+        # keep per-keyframe transfers for baking into the atlas at export
+        self._kf_transfer = {
+            kf: (np.asarray(t_mats[row]), np.asarray(mean_t[row]),
+                 np.asarray(mean_v[row]))
+            for kf, row in kf_row.items()
+        }
+
+    def bake_compensation_into_atlas(self) -> int:
+        """Apply each patch's keyframe color transfer to its atlas tile so
+        exported textures carry the global color consistency (the
+        reference does this in the shader per vertex). Returns number of
+        tiles baked."""
+        transfers = getattr(self, "_kf_transfer", None)
+        if not transfers:
+            return 0
+        n = 0
+        ps = self.atlas.patch_size
+        for slot, rec in self.atlas.patches.items():
+            tr = transfers.get(rec.kf_id)
+            if tr is None:
+                continue
+            t, mu_t, mu_v = tr
+            ox, oy = self.atlas._slot_origin(rec.slot_index)
+            tile = self.atlas.image[oy:oy + ps, ox:ox + ps].astype(np.float32) / 255.0
+            fixed = (tile - mu_t) @ t.T + mu_v
+            self.atlas.image[oy:oy + ps, ox:ox + ps] = np.clip(
+                fixed * 255.0, 0, 255).astype(np.uint8)
+            n += 1
+        self._kf_transfer = None  # baked exactly once
+        return n
 
     # ------------------------------------------------------------- export
 
     def export_textured(self, mesher, out_dir: str, name: str = "model") -> str:
         """Textured OBJ+MTL+PNG of all patched chunks
         (ref: Atlas.cpp:93-179)."""
+        self.bake_compensation_into_atlas()
         vs, fs, uvs = [], [], []
         base = 0
         for slot in sorted(self.chunk_tex):
