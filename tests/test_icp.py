@@ -54,3 +54,21 @@ def test_icp_correspondences_at_gt(pair):
     err = jnp.linalg.norm(se3.transform_points(t_gt, q) - p, axis=-1)
     masked = np.asarray(jnp.where(w > 0, err, 0.0))
     assert masked.sum() / n < 0.02
+
+
+def test_pipeline_with_icp_enabled():
+    import dataclasses
+
+    from texturefusion_tpu.fusion.pipeline import ReconstructionPipeline
+    from texturefusion_tpu.io import tum
+
+    cfg = CFG.replace(tracking=dataclasses.replace(CFG.tracking, use_icp=True))
+    poses = synthetic.orbit_trajectory(6)
+    depths, rgbs = synthetic.render_sequence(SCENE, INTR, poses)
+    pipe = ReconstructionPipeline(cfg)
+    for i in range(6):
+        pipe.process_frame(jnp.asarray(depths[i]), jnp.asarray(rgbs[i]),
+                           timestamp=float(i))
+    pipe.finish()
+    rmse = tum.ate_rmse(pipe.trajectory(), np.stack(poses))
+    assert rmse < 0.03, rmse

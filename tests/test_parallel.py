@@ -87,3 +87,28 @@ def test_sharded_tsdf_integration_matches_dense():
     np.testing.assert_allclose(w, np.asarray(ref.weight), atol=1e-6)
     np.testing.assert_allclose(np.asarray(new_batch.sdf), np.asarray(ref.sdf),
                                atol=1e-4)
+
+
+def test_gcslam_with_distributed_ba():
+    """Full SLAM with the edge-sharded BA backend over the 8-device mesh."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from texturefusion_tpu.config import ParallelConfig, tiny_test_config
+    from texturefusion_tpu.io import synthetic, tum
+    from texturefusion_tpu.ops import preprocess
+    from texturefusion_tpu.slam.gcslam import GCSLAM
+
+    cfg = tiny_test_config().replace(parallel=ParallelConfig(n_devices=8))
+    intr = cam.Intrinsics.from_config(cfg.camera)
+    scene = synthetic.BoxRoomScene()
+    poses = synthetic.orbit_trajectory(8)
+    depths, rgbs = synthetic.render_sequence(scene, intr, poses)
+    slam = GCSLAM(cfg)
+    for i in range(8):
+        gray = preprocess.rgb_to_gray(jnp.asarray(rgbs[i])) * 255.0
+        slam.update_frame(gray, jnp.asarray(depths[i]), timestamp=float(i))
+    est = slam.trajectory()
+    rmse = tum.ate_rmse(est, np.stack(poses))
+    assert rmse < 0.02, rmse

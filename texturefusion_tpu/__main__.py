@@ -125,6 +125,8 @@ def main(argv=None):
 
     os.makedirs(args.out, exist_ok=True)
     pipe.save_trajectory(os.path.join(args.out, "trajectory.txt"))
+    pipe.save_stats(args.out)
+    pipe.save_keyframe_textures(os.path.join(args.out, "keyframes"))
     n_verts = pipe.export_mesh(os.path.join(args.out, "fused.ply"))
     print(f"fused.ply: {n_verts} vertices")
     if not args.no_texture:

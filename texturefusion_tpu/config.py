@@ -63,6 +63,8 @@ class TrackingConfig:
     min_matches: int = 20              # minimum inliers to accept registration
     keyframe_min_distance: int = 4     # settings.yaml keyframe_minimum_distance
     blur_threshold: float = 3.0        # ref: BasicAPI.cpp:1256-1266 Laplacian gate
+    use_icp: bool = False              # settings.yaml use_icp_registration
+    icp_weight: float = 0.5            # settings.yaml icp_weight
 
 
 @dataclasses.dataclass(frozen=True)
@@ -154,7 +156,10 @@ def tiny_test_config() -> PipelineConfig:
         camera=CameraConfig(width=160, height=120, fx=120.0, fy=120.0,
                             cx=79.5, cy=59.5, far_plane=6.0),
         tracking=TrackingConfig(max_features=256, max_features_pad=256,
-                                max_matches_pad=256, ransac_iterations=128),
+                                max_matches_pad=256, ransac_iterations=128,
+                                # 160×120 frames yield ~4× fewer matches
+                                # than VGA; scale the acceptance gate
+                                min_matches=12),
         ba=BAConfig(max_keyframes=32, max_edges=128),
         tsdf=TSDFConfig(voxel_resolution=0.05, capacity=1024,
                         max_update_chunks=512),

@@ -42,7 +42,9 @@ def select_keyframes_to_update(costs: np.ndarray, max_updates: int = 4,
     if k == 0:
         return []
     smoothed = np.copy(costs).astype(np.float64)
-    if k > 1 and window > 1:
+    if k >= window > 1:
+        # ('same' mode returns len(kernel) when the signal is shorter —
+        # hence the k >= window guard)
         kernel = np.ones(window) / window
         smoothed = np.convolve(costs, kernel, mode="same")
     order = np.argsort(-smoothed)

@@ -229,6 +229,60 @@ class ReconstructionPipeline:
         from texturefusion_tpu.io import ply as _ply
         _ply.save_trajectory_tum(path, timestamps, traj)
 
+    def save_keyframe_textures(self, out_dir: str) -> int:
+        """Per-keyframe %06d.cam + %06d.png dump (ref: main.cpp:287-313):
+        camera file holds the world-to-camera pose row-major + intrinsics."""
+        import os
+
+        import cv2
+
+        os.makedirs(out_dir, exist_ok=True)
+        n = 0
+        for slot, st in sorted(self.kf_states.items()):
+            pose = self.slam.keyframe_pose(slot)
+            w2c = np.linalg.inv(pose)
+            with open(os.path.join(out_dir, f"{slot:06d}.cam"), "w") as f:
+                vals = list(w2c[:3].reshape(-1)) + [
+                    self.intr.fx, self.intr.fy, self.intr.cx, self.intr.cy]
+                f.write(" ".join(f"{v:.8f}" for v in vals) + "\n")
+            img = st.rgb if st.rgb.dtype == np.uint8 else \
+                (st.rgb * 255).astype(np.uint8)
+            cv2.imwrite(os.path.join(out_dir, f"{slot:06d}.png"),
+                        cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+            n += 1
+        return n
+
+    def memory_stats(self) -> Dict[str, float]:
+        """Approximate memory accounting in MB
+        (ref: Frame::GetOccupiedMemorySize frame.h:68-99)."""
+        vol = self.volume
+        dev = sum(np.prod(a.shape) * 4 for a in vol.batch) + vol.origins.size * 4
+        kf = sum(st.depth.nbytes + st.rgb.nbytes + st.quality.nbytes
+                 + sum(d.nbytes for d in st.local_depths)
+                 for st in self.kf_states.values())
+        meshes = sum(sum(a.nbytes for a in m)
+                     for m in self.mesher.meshes.values())
+        return {"device_tsdf_mb": float(dev) / 2**20,
+                "keyframe_cache_mb": float(kf) / 2**20,
+                "mesh_cache_mb": float(meshes) / 2**20,
+                "chunks_active": float(vol.n_active())}
+
+    def save_stats(self, out_dir: str) -> None:
+        """stat.txt / chunk.txt equivalents (ref: main.cpp:213-235)."""
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "stat.txt"), "w") as f:
+            f.write(STOPWATCH.report() + "\n")
+            for k, v in self.stats.items():
+                f.write(f"{k}: {v}\n")
+            for k, v in self.memory_stats().items():
+                f.write(f"{k}: {v:.2f}\n")
+        with open(os.path.join(out_dir, "chunk.txt"), "w") as f:
+            f.write(f"chunks_created {self.volume.chunks_created} "
+                    f"active {self.volume.n_active()} "
+                    f"meshed {len(self.mesher.meshes)}\n")
+
 
 class TexturedPipeline(ReconstructionPipeline):
     """Full pipeline with online texturing — the reference's complete

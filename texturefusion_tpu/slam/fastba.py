@@ -93,13 +93,17 @@ def append_edge(edges: EdgeSums, e: jnp.ndarray, kf_i: int, kf_j: int,
 
 
 def make_edges(capacity: int) -> EdgeSums:
-    z3 = jnp.zeros((capacity, 3))
-    z33 = jnp.zeros((capacity, 3, 3))
+    # NOTE: every field gets its own buffer — append_edge donates the
+    # whole structure, and aliased zero arrays would be donated twice
     return EdgeSums(
         kf_i=jnp.zeros(capacity, jnp.int32),
         kf_j=jnp.zeros(capacity, jnp.int32),
-        s_w=jnp.zeros(capacity), s_p=z3, s_q=z3,
-        s_pp=z33, s_qq=z33, s_pq=z33,
+        s_w=jnp.zeros(capacity),
+        s_p=jnp.zeros((capacity, 3)),
+        s_q=jnp.zeros((capacity, 3)),
+        s_pp=jnp.zeros((capacity, 3, 3)),
+        s_qq=jnp.zeros((capacity, 3, 3)),
+        s_pq=jnp.zeros((capacity, 3, 3)),
         valid=jnp.zeros(capacity, bool),
     )
 

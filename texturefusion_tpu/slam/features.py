@@ -108,16 +108,37 @@ def _box_blur(img: jnp.ndarray, r: int = 2) -> jnp.ndarray:
     return out
 
 
-def _ic_angle(blur: jnp.ndarray, uv: jnp.ndarray, radius: int = 7) -> jnp.ndarray:
-    """Intensity-centroid orientation (ref: ORBextractor IC_Angle)."""
-    offs = [(dy, dx) for dy in range(-radius, radius + 1)
-            for dx in range(-radius, radius + 1)
-            if dx * dx + dy * dy <= radius * radius]
-    offs = np.asarray(offs, np.float32)
-    pts = uv[:, None, :] + offs[None, :, ::-1]          # (K, P, 2) [u, v]
-    vals, _ = cam.bilinear_sample(blur, pts)
-    m10 = jnp.sum(vals * offs[None, :, 1], axis=1)
-    m01 = jnp.sum(vals * offs[None, :, 0], axis=1)
+def _moment_maps(blur: jnp.ndarray, radius: int = 11):
+    """Whole-image intensity-centroid moments m10/m01 via two depthwise
+    convolutions — O(HW·P) shared across all keypoints instead of
+    per-keypoint patch gathers (the reference computes IC_Angle per
+    keypoint serially; ref: ORBextractor IC_Angle)."""
+    offs = np.asarray([(dy, dx) for dy in range(-radius, radius + 1)
+                       for dx in range(-radius, radius + 1)
+                       if dx * dx + dy * dy <= radius * radius], np.float32)
+    size = 2 * radius + 1
+    kx = np.zeros((size, size), np.float32)
+    ky = np.zeros((size, size), np.float32)
+    for dy, dx in offs:
+        kx[int(dy) + radius, int(dx) + radius] = dx
+        ky[int(dy) + radius, int(dx) + radius] = dy
+    img = blur[None, None]
+
+    def conv(kernel):
+        # cross-correlation: m(y,x) = Σ I(y+dy, x+dx)·w(dy,dx)
+        k = jnp.asarray(kernel[::-1, ::-1])[None, None]
+        return jax.lax.conv_general_dilated(
+            img, k, (1, 1), "SAME")[0, 0]
+
+    return conv(kx), conv(ky)
+
+
+def _ic_angle(blur: jnp.ndarray, uv: jnp.ndarray, radius: int = 11) -> jnp.ndarray:
+    """Intensity-centroid orientation (ref: ORBextractor IC_Angle),
+    via precomputed moment maps + one bilinear sample per keypoint."""
+    m10_map, m01_map = _moment_maps(blur, radius)
+    m10, _ = cam.bilinear_sample(m10_map, uv)
+    m01, _ = cam.bilinear_sample(m01_map, uv)
     return jnp.arctan2(m01, m10)
 
 
@@ -174,15 +195,17 @@ def extract_features(gray: jnp.ndarray, depth: jnp.ndarray,
         mask = jnp.zeros((h, w), bool).at[border:h - border, border:w - border].set(True)
         score = jnp.where(mask, score, 0.0)
 
-        # per-cell argmax instead of global top-k: pure reductions (no
-        # device sort) and spatially spread keypoints — the role of the
+        # two-stage selection replacing the 307k-element global top-k
+        # (big device sorts are slow): (1) per-cell argmax — a pure
+        # reduction — collapses the score map to ~4× budget spatially
+        # spread candidates; (2) a cheap top-k over that small winner set
+        # keeps the strongest. Together these play the role of the
         # reference's octree distribution (ref: ORBextractor
-        # DistributeOctTree), TPU-shaped
-        # 2× the budget in cells: one winner per cell, so textureless
-        # cells don't starve the level of corners
-        k = int(budgets[lvl]) * 2
-        gy = max(int(np.floor(np.sqrt(k * h / w))), 1)
-        gx = max(k // gy, 1)
+        # DistributeOctTree): spread AND strength.
+        k = int(budgets[lvl])
+        n_cells = k * 4
+        gy = max(int(np.floor(np.sqrt(n_cells * h / w))), 1)
+        gx = max(n_cells // gy, 1)
         cell_h = -(-h // gy)
         cell_w = -(-w // gx)
         pad_h = gy * cell_h - h
@@ -191,14 +214,17 @@ def extract_features(gray: jnp.ndarray, depth: jnp.ndarray,
         cells = sp.reshape(gy, cell_h, gx, cell_w).transpose(0, 2, 1, 3)
         cells = cells.reshape(gy * gx, cell_h * cell_w)
         ci = jnp.argmax(cells, axis=1)
-        resp = jnp.take_along_axis(cells, ci[:, None], axis=1)[:, 0]
+        cell_resp = jnp.take_along_axis(cells, ci[:, None], axis=1)[:, 0]
         cy = jnp.arange(gy * gx) // gx
         cx = jnp.arange(gy * gx) % gx
-        vy = (cy * cell_h + ci // cell_w).astype(jnp.float32)
-        vx = (cx * cell_w + ci % cell_w).astype(jnp.float32)
+        wy = (cy * cell_h + ci // cell_w).astype(jnp.float32)
+        wx = (cx * cell_w + ci % cell_w).astype(jnp.float32)
+        k = min(k, gy * gx)
+        resp, win = jax.lax.top_k(cell_resp, k)
+        vy = wy[win]
+        vx = wx[win]
         ok = resp > 0
         uv_l = jnp.stack([vx, vy], axis=-1)
-        k = gy * gx
         blur = _box_blur(img)
         ang = _ic_angle(blur, uv_l)
         desc = _descriptors(blur, uv_l, ang)

@@ -78,6 +78,11 @@ class GCSLAM:
         self.origin_count = 1
         self._key = jax.random.PRNGKey(42)
         self.last_ba_errors: List = []
+        # last-keyframe depth/normals kept only when ICP is enabled
+        self._kf_depth = None
+        self._kf_normals = None
+        # previous frame's keypoints: frame-to-frame fallback tracking
+        self._prev_kp = None
 
     # ------------------------------------------------------------ helpers
 
@@ -106,6 +111,24 @@ class GCSLAM:
 
     # ------------------------------------------------------------ edges
 
+    def _add_virtual_edge(self, kf_i_slot: int, kf_j_slot: int,
+                          rel_pose: np.ndarray, n_pts: int = 64,
+                          weight: float = 0.5) -> None:
+        """Odometry-prior edge from a relative pose without shared
+        features: virtual 3D points p = T_rel·q tie the two keyframes in
+        FastBA when direct co-registration failed (chained tracking)."""
+        if self.n_edges >= self.config.ba.max_edges:
+            return
+        rng = np.random.default_rng(kf_j_slot)
+        q = rng.uniform(-1.0, 1.0, (n_pts, 3)).astype(np.float32)
+        q[:, 2] += 2.0
+        qj = jnp.asarray(q)
+        pj = se3.transform_points(jnp.asarray(rel_pose.astype(np.float32)), qj)
+        sums = fastba.preintegrate_edge(pj, qj, jnp.full(n_pts, weight))
+        self.edges = fastba.append_edge(
+            self.edges, jnp.int32(self.n_edges), kf_i_slot, kf_j_slot, *sums)
+        self.n_edges += 1
+
     def _add_edge(self, kf_i_slot: int, kf_j_slot: int, kp_ref: Keypoints,
                   kp_src: Keypoints, res: TwoViewResult) -> None:
         """Pre-integrate a successful registration into the edge store
@@ -124,7 +147,9 @@ class GCSLAM:
 
     def _run_ba(self) -> None:
         """FastBA over all keyframes (ref: optimizeKeyFrameMap
-        MultiViewGeometry.cpp:1209-1217 called at every new keyframe)."""
+        MultiViewGeometry.cpp:1209-1217 called at every new keyframe).
+        With parallel.n_devices > 1, edges are sharded over the device
+        mesh and per-edge Hessian blocks psum-reduced (parallel/ba.py)."""
         n_kf = len(self.keyframes)
         if n_kf < 2 or self.n_edges < 1:
             return
@@ -134,8 +159,27 @@ class GCSLAM:
         # edge slice in a static-size bucket
         e_bucket = _next_bucket(self.n_edges, lo=16)
         edges = jax.tree.map(lambda a: a[:e_bucket], self.edges)
-        new_poses, edges, errs = fastba.optimize(
-            poses, edges, bucket, active, self.config.ba)
+
+        n_dev = self.config.parallel.n_devices
+        if n_dev and n_dev > 1 and len(jax.devices()) >= n_dev:
+            from texturefusion_tpu.parallel import ba as pba
+            from texturefusion_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_dev)
+            edges_s = pba.shard_edges(
+                pba.pad_edges_for_mesh(edges, mesh.size), mesh)
+            errs = []
+            for r in range(self.config.ba.gn_rounds):
+                poses, e0, e1 = pba.distributed_gn(
+                    poses, edges_s, bucket, active, self.config.ba, mesh)
+                errs.append((float(e0), float(e1)))
+                if r < self.config.ba.gn_rounds - 1:
+                    edges_s = fastba.prune_outlier_edges(poses, edges_s)
+            new_poses = poses
+            edges = jax.tree.map(lambda a: a[:e_bucket], edges_s)
+        else:
+            new_poses, edges, errs = fastba.optimize(
+                poses, edges, bucket, active, self.config.ba)
         self.last_ba_errors = errs
         self.poses[:bucket] = np.asarray(new_poses)
         # write back pruned-edge validity
@@ -158,7 +202,8 @@ class GCSLAM:
         return kf
 
     def _update_keyframe(self, frame: FrameRecord, kp: Keypoints,
-                         tracked: Optional[TwoViewResult]) -> None:
+                         tracked: Optional[TwoViewResult],
+                         fallback_pose: Optional[np.ndarray] = None) -> None:
         """New-keyframe path: loop-closure candidates + registrations +
         edge insertion + FastBA (ref: GCSLAM.cpp:52-185 update_keyframe)."""
         sims = self.db.similarity(kp.desc, kp.valid)
@@ -189,6 +234,20 @@ class GCSLAM:
                 results.append((kf_c, res, kp_ref, stats))
 
         if not results:
+            if fallback_pose is not None:
+                # no direct keyframe registration, but frame-to-frame
+                # chaining kept a valid pose: promote in the SAME origin
+                # with an odometry-prior edge for BA
+                frame.origin_index = self.keyframes[last_slot].origin_index
+                frame.tracking_success = True
+                kf = self._promote_keyframe(frame, kp,
+                                            fallback_pose.astype(np.float32))
+                rel = np.linalg.inv(self.poses[last_slot]) @ fallback_pose
+                self._add_virtual_edge(last_slot, kf.slot, rel)
+                self.db.add(kf.slot, kp.desc, kp.valid)
+                self._run_ba()
+                self.fail_count = 0
+                return
             # registration failed everywhere → new map origin
             # (ref: GCSLAM.cpp:149-161)
             self.origin_count += 1
@@ -238,6 +297,8 @@ class GCSLAM:
             frame.tracking_success = True
             kf = self._promote_keyframe(frame, kp, np.eye(4, dtype=np.float32))
             self.db.add(kf.slot, kp.desc, kp.valid)
+            self._store_icp_reference(depth)
+            self._prev_kp = kp
             return frame
 
         last_kf = self.last_keyframe
@@ -246,19 +307,63 @@ class GCSLAM:
         # one fetch for all decision scalars (minimizes link roundtrips)
         stats = np.asarray(res.stats)
         success = bool(stats[0] > 0.5)
+        if not success:
+            # borderline RANSAC draws are seed-dependent: one cheap retry
+            # with a fresh key before declaring a tracking failure
+            res = register_frames(kp_ref, kp, self._split_key(),
+                                  self.cfg, self.intr)
+            stats = np.asarray(res.stats)
+            success = bool(stats[0] > 0.5)
+
+        # frame-to-frame fallback: when the keyframe baseline got too wide
+        # for direct registration, chain through the previous frame (high
+        # overlap). Keyframe-overlap loss still counts toward promotion.
+        chained_pose = None
+        if not success and self._prev_kp is not None and len(self.frames) > 1:
+            prev = self.frames[-2]
+            if prev.keyframe_slot == last_kf.slot and prev.rel_to_keyframe is not None:
+                res_ff = register_frames(self._prev_kp, kp, self._split_key(),
+                                         self.cfg, self.intr)
+                stats_ff = np.asarray(res_ff.stats)
+                if stats_ff[0] > 0.5:
+                    rel = prev.rel_to_keyframe @ np.asarray(res_ff.pose)
+                    chained_pose = self.poses[last_kf.slot] @ rel
+                    frame.rel_to_keyframe = rel.astype(np.float32)
+
+        # optional dense ICP refinement against the keyframe depth
+        # (ref: settings.yaml use_icp_registration; preIntegrateICP)
+        if success and self.cfg.use_icp and self._kf_depth is not None:
+            from texturefusion_tpu.slam import icp as icp_mod
+
+            icp_res = icp_mod.icp_refine(self._kf_depth, self._kf_normals,
+                                         depth, res.pose, self.intr)
+            if bool(icp_res.success):
+                # blend feature and ICP poses on the tangent space
+                w = self.cfg.icp_weight
+                delta = se3.se3_log(se3.compose(se3.inverse(res.pose),
+                                                icp_res.pose))
+                blended = se3.compose(res.pose, se3.se3_exp(delta * w))
+                res = res._replace(pose=blended)
 
         promote = False
         if success:
             disparity = float(stats[3])
             scale = float(stats[4])
+            n_inl = float(stats[1])
+            # promotion gates (ref: GCSLAM.cpp:315-327) plus an overlap
+            # gate: when the inlier count vs the keyframe decays, promote
+            # BEFORE tracking breaks on a wide baseline
+            overlap_low = n_inl < self.cfg.min_matches * 2
             if (disparity > self.cfg.minimum_disparity
-                    or scale > self.cfg.scale_change_ratio):
+                    or scale > self.cfg.scale_change_ratio
+                    or overlap_low):
                 is_blurred = blurred() if callable(blurred) else blurred
                 frame.blurred = bool(is_blurred)
                 promote = not is_blurred
         else:
             self.fail_count += 1
-            if self.fail_count >= self.cfg.max_tracking_failures:
+            if self.fail_count >= self.cfg.max_tracking_failures or \
+                    chained_pose is not None:
                 promote = True
 
         if success and not promote:
@@ -269,19 +374,40 @@ class GCSLAM:
             frame.origin_index = last_kf.origin_index
             last_kf.local_frames.append(frame.index)
             self.fail_count = 0
+            self._prev_kp = kp
             return frame
 
         if promote:
-            self._update_keyframe(frame, kp, res if success else None)
+            self._update_keyframe(frame, kp, res if success else None,
+                                  fallback_pose=chained_pose)
+            self._store_icp_reference(depth)
+            self._prev_kp = kp
             return frame
 
-        # tracking failed but not yet promoting: keep last pose
+        # tracking failed but not yet promoting: hold the LAST frame's
+        # pose (constant-position model) rather than snapping back to the
+        # keyframe (ref: main loop keeps the previous pose on failure)
         frame.tracking_success = False
         frame.is_keyframe = False
         frame.keyframe_slot = last_kf.slot
-        frame.rel_to_keyframe = np.eye(4, dtype=np.float32)
+        if frame.rel_to_keyframe is None:
+            prev = self.frames[-2] if len(self.frames) > 1 else None
+            if prev is not None and prev.keyframe_slot == last_kf.slot \
+                    and prev.rel_to_keyframe is not None:
+                frame.rel_to_keyframe = prev.rel_to_keyframe.copy()
+            else:
+                frame.rel_to_keyframe = np.eye(4, dtype=np.float32)
+        if chained_pose is not None:
+            frame.tracking_success = True
         frame.origin_index = last_kf.origin_index
+        self._prev_kp = kp
         return frame
+
+    def _store_icp_reference(self, depth) -> None:
+        if self.cfg.use_icp:
+            from texturefusion_tpu.ops import preprocess
+            self._kf_depth = depth
+            self._kf_normals = preprocess.extract_normal_map(depth, self.intr)
 
     def final_ba(self) -> None:
         """Final global optimization (ref: GCSLAM.h:32-39 finalBA)."""

@@ -104,7 +104,7 @@ def refine_pose_gn(pose: jnp.ndarray, p: jnp.ndarray, q: jnp.ndarray,
 
 
 def _rotation_histogram_filter(ok: jnp.ndarray, ang_src: jnp.ndarray,
-                               ang_ref: jnp.ndarray, n_bins: int = 30,
+                               ang_ref: jnp.ndarray, n_bins: int = 12,
                                n_keep: int = 3) -> jnp.ndarray:
     """Keep matches whose orientation difference falls in the top-k
     histogram bins (ref: RefineByRotation MultiViewGeometry.h:554-594)."""
