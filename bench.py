@@ -41,12 +41,17 @@ def main():
     n_frames = 40
     n_warm = 8
     poses = synthetic.orbit_trajectory(n_frames)
-    # render a subset and cycle through it; poses stay smooth for tracking
-    depths, rgbs = synthetic.render_sequence(scene, intr, poses)
     from texturefusion_tpu.ops.preprocess import pack_frame
-    packed = [pack_frame((d * config.camera.depth_scale).astype(np.uint16),
-                         (c * 255).astype(np.uint8))
-              for d, c in zip(depths, rgbs)]
+    cache = f"/tmp/tf_bench_frames_{intr.width}x{intr.height}_{n_frames}.npz"
+    if os.path.exists(cache):
+        data = np.load(cache)
+        packed = [data[f"f{i}"] for i in range(n_frames)]
+    else:
+        depths, rgbs = synthetic.render_sequence(scene, intr, poses)
+        packed = [pack_frame((d * config.camera.depth_scale).astype(np.uint16),
+                             (c * 255).astype(np.uint8))
+                  for d, c in zip(depths, rgbs)]
+        np.savez_compressed(cache, **{f"f{i}": p for i, p in enumerate(packed)})
 
     pipe = ReconstructionPipeline(config)
     # warmup: compiles every jit in the frame path (incl. keyframe path)

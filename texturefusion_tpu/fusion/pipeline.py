@@ -78,13 +78,23 @@ class ReconstructionPipeline:
         host→device transfer per frame. Separate float/u16/u8 depth + rgb
         arrays also accepted."""
         intr = self.intr
+        kp = res = None
+        last_kf = self.slam.last_keyframe
         with STOPWATCH.time("preprocess"):
-            # whole preprocessing chain = one compiled dispatch; compact
-            # uint8/uint16 inputs are converted on device
-            depth_refined, normals, quality, gray, _blur, rgb = \
-                preprocess.preprocess_bundle(
+            if last_kf is not None:
+                # steady state: preprocessing + features + registration
+                # in ONE dispatch (models.reconstruction.track_frame_fused)
+                from texturefusion_tpu.models.reconstruction import \
+                    track_frame_fused
+                kp_ref = self.slam.frames[last_kf.frame_index].keypoints
+                bundle, kp, res = track_frame_fused(
+                    depth_raw, rgb, kp_ref, self.slam._split_key(), intr,
+                    self.config.tracking, self.config.camera.depth_scale)
+            else:
+                bundle = preprocess.preprocess_bundle(
                     depth_raw, rgb, intr,
                     depth_scale=self.config.camera.depth_scale)
+            depth_refined, normals, quality, gray, _blur, rgb = bundle
 
         # blur gate blocks keyframe promotion (ref: BasicAPI.cpp:1256-1266,
         # GCSLAM.cpp:315); threshold ≤ 0 disables (synthetic scenes score
@@ -98,7 +108,7 @@ class ReconstructionPipeline:
 
         with STOPWATCH.time("tracking"):
             frame = self.slam.update_frame(gray, depth_refined, timestamp,
-                                           blurred=blurred)
+                                           blurred=blurred, kp=kp, res=res)
         self.stats["frames"] += 1
 
         if frame.is_keyframe:

@@ -52,6 +52,27 @@ def frame_step(
     return new_batch, chunk_q, normals
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("intr", "tcfg", "depth_scale"))
+def track_frame_fused(packed_or_depth, rgb, kp_ref, key,
+                      intr: cam.Intrinsics, tcfg, depth_scale: float):
+    """The ENTIRE per-frame tracking path as one compiled program:
+    preprocessing bundle + feature extraction + registration against the
+    last keyframe. One dispatch + one stats fetch per frame — the
+    steady-state hot loop (ref: main.cpp:106-135 per-frame work).
+
+    Returns (bundle tuple, Keypoints, TwoViewResult)."""
+    from texturefusion_tpu.slam.features import extract_features
+    from texturefusion_tpu.slam.matching import register_frames
+
+    bundle = preprocess.preprocess_bundle(packed_or_depth, rgb, intr,
+                                          depth_scale=depth_scale)
+    depth_refined, normals, quality, gray, blur, rgb_f = bundle
+    kp = extract_features(gray, depth_refined, tcfg, intr)
+    res = register_frames(kp_ref, kp, key, tcfg, intr)
+    return bundle, kp, res
+
+
 class MultichipState(NamedTuple):
     batch: tsdf_ops.ChunkBatch   # chunk-sharded TSDF rows
     origins: jnp.ndarray         # [S, 3] chunk-sharded

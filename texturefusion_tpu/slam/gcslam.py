@@ -283,15 +283,19 @@ class GCSLAM:
 
     def update_frame(self, gray: jnp.ndarray, depth: jnp.ndarray,
                      timestamp: float = 0.0,
-                     blurred=False) -> FrameRecord:
+                     blurred=False, kp=None, res=None) -> FrameRecord:
         """Track one frame (ref: GCSLAM.cpp:256-356 update_frame).
         `blurred` may be a bool or a zero-arg callable evaluated lazily
         (only at keyframe-promotion time, avoiding a per-frame device
-        sync for the blur score)."""
+        sync for the blur score). `kp`/`res` accept precomputed feature
+        extraction + registration-vs-last-keyframe results (the pipeline
+        fuses them into one dispatch, models.reconstruction
+        track_frame_fused)."""
         frame = FrameRecord(index=len(self.frames), timestamp=timestamp,
                             blurred=False)
         self.frames.append(frame)
-        kp = extract_features(gray, depth, self.cfg, self.intr)
+        if kp is None:
+            kp = extract_features(gray, depth, self.cfg, self.intr)
 
         if not self.keyframes:
             frame.tracking_success = True
@@ -303,7 +307,9 @@ class GCSLAM:
 
         last_kf = self.last_keyframe
         kp_ref = self.frames[last_kf.frame_index].keypoints
-        res = register_frames(kp_ref, kp, self._split_key(), self.cfg, self.intr)
+        if res is None:
+            res = register_frames(kp_ref, kp, self._split_key(),
+                                  self.cfg, self.intr)
         # one fetch for all decision scalars (minimizes link roundtrips)
         stats = np.asarray(res.stats)
         success = bool(stats[0] > 0.5)
