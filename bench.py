@@ -53,15 +53,19 @@ def main():
                   for d, c in zip(depths, rgbs)]
         np.savez_compressed(cache, **{f"f{i}": p for i, p in enumerate(packed)})
 
+    from texturefusion_tpu.io.prefetch import prefetch_frames
+
     pipe = ReconstructionPipeline(config)
     # warmup: compiles every jit in the frame path (incl. keyframe path)
     for i in range(n_warm):
         pipe.process_frame(jnp.asarray(packed[i]), timestamp=float(i))
     jax.block_until_ready(pipe.volume.batch.sdf)
 
+    stream = prefetch_frames((float(i), packed[i])
+                             for i in range(n_warm, n_frames))
     t0 = time.perf_counter()
-    for i in range(n_warm, n_frames):
-        pipe.process_frame(jnp.asarray(packed[i]), timestamp=float(i))
+    for ts, frame in stream:
+        pipe.process_frame(frame, timestamp=ts)
     jax.block_until_ready(pipe.volume.batch.sdf)
     dt = time.perf_counter() - t0
     fps = (n_frames - n_warm) / dt

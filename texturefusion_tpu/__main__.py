@@ -108,12 +108,13 @@ def main(argv=None):
     cls = ReconstructionPipeline if args.no_texture else TexturedPipeline
     pipe = cls(config)
 
+    from texturefusion_tpu.io.prefetch import prefetch_frames
+
     t0 = time.time()
     n = 0
-    for ts, depth, rgb in sensor.frames():
-        pipe.process_frame(jnp.asarray(depth),
-                           None if rgb is None else jnp.asarray(rgb),
-                           timestamp=ts)
+    for item in prefetch_frames(sensor.frames()):
+        ts, depth, rgb = item
+        pipe.process_frame(depth, rgb, timestamp=ts)
         n += 1
         if args.max_frames and n >= args.max_frames:
             break

@@ -216,7 +216,17 @@ class GCSLAM:
             s = self.db.kf_ids[r]
             if s not in cand_slots:
                 cand_slots.append(s)
-        cand_slots = cand_slots[: self.cfg.max_candidates]
+        # disconnected origins: always probe each other origin's newest
+        # keyframe so maps can re-merge (ref: updateMapOrigin intent)
+        if self.origin_count > 1:
+            seen_origins = {self.keyframes[last_slot].origin_index}
+            for other in reversed(self.keyframes):
+                if other.origin_index not in seen_origins:
+                    seen_origins.add(other.origin_index)
+                    if other.slot not in cand_slots:
+                        cand_slots.append(other.slot)
+        cand_slots = cand_slots[: max(self.cfg.max_candidates,
+                                      len(cand_slots))]
 
         results = []
         for slot in cand_slots:
@@ -258,9 +268,12 @@ class GCSLAM:
             self.fail_count = 0
             return
 
-        # pose from the minimum-disparity successful match
-        # (ref: GCSLAM.cpp:124-147)
-        best = min(results, key=lambda r: float(r[3][3]))  # min disparity
+        # pose from the minimum-disparity successful match, preferring the
+        # OLDEST origin so merges always re-anchor younger maps onto older
+        # ones (ref: GCSLAM.cpp:124-147 best match; :187-254 origin merge)
+        oldest = min(r[0].origin_index for r in results)
+        candidates_oldest = [r for r in results if r[0].origin_index == oldest]
+        best = min(candidates_oldest, key=lambda r: float(r[3][3]))
         kf_best, res_best = best[0], best[1]
         pose_world = self.poses[kf_best.slot] @ np.asarray(res_best.pose)
         frame.origin_index = kf_best.origin_index
@@ -270,6 +283,26 @@ class GCSLAM:
         for kf_c, res, kp_ref, _stats in results:
             self._add_edge(kf_c.slot, kf.slot, kp_ref, kp, res)
         kf.reg_success_count = len(results)
+
+        # map-origin merging (ref: GCSLAM.cpp:187-254 updateMapOrigin):
+        # a keyframe registering to keyframes from several origins aligns
+        # those origins — re-anchor the younger origin onto the adopted one
+        adopted = kf.origin_index
+        pose_new = self.poses[kf.slot]
+        for kf_c, res, _kp_ref, _stats in results:
+            o = kf_c.origin_index
+            if o == adopted:
+                continue
+            pose_new_in_o = self.keyframe_pose(kf_c.slot) @ np.asarray(res.pose)
+            t_align = (pose_new @ np.linalg.inv(pose_new_in_o)).astype(np.float32)
+            for other in self.keyframes:
+                if other.origin_index == o:
+                    self.poses[other.slot] = t_align @ self.poses[other.slot]
+                    other.origin_index = adopted
+                    self.frames[other.frame_index].origin_index = adopted
+            for f in self.frames:
+                if f.origin_index == o:
+                    f.origin_index = adopted
 
         # descriptor DB insertion gated on match count
         # (ref: GCSLAM.cpp:171-177 — skip if ≥4 successful matches)
