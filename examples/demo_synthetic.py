@@ -29,11 +29,12 @@ from texturefusion_tpu.ops import preprocess
 
 def run_slam_pipeline(config, scene, poses, depths, rgbs, args):
     """Full pipeline: tracking + loop closure + BA + fusion + meshing."""
-    from texturefusion_tpu.fusion.pipeline import ReconstructionPipeline
+    from texturefusion_tpu.fusion.pipeline import (ReconstructionPipeline,
+                                                   TexturedPipeline)
     from texturefusion_tpu.io import tum
     from texturefusion_tpu.utils.stopwatch import STOPWATCH
 
-    pipe = ReconstructionPipeline(config)
+    pipe = (TexturedPipeline if args.texture else ReconstructionPipeline)(config)
     t0 = time.time()
     for i, (d, c) in enumerate(zip(depths, rgbs)):
         pipe.process_frame(jnp.asarray(d), jnp.asarray(c), timestamp=float(i))
@@ -50,6 +51,13 @@ def run_slam_pipeline(config, scene, poses, depths, rgbs, args):
     out_path = os.path.join(args.out, "slam_fused.ply")
     ply.save_ply(out_path, verts, faces, colors, normals)
     pipe.save_trajectory(os.path.join(args.out, "trajectory.txt"))
+    if args.texture:
+        pipe._texture_cycle()
+        try:
+            obj = pipe.export_textured(args.out)
+            print("textured model:", obj)
+        except RuntimeError as e:
+            print("texture export skipped:", e)
     verts_w = verts @ poses[0][:3, :3].T + poses[0][:3, 3]
     sdf_err = np.abs(np.asarray(scene.sdf(jnp.asarray(verts_w))))
     print(f"ATE RMSE: {rmse * 1000:.1f}mm | mesh: {len(verts)} verts, "
@@ -67,6 +75,8 @@ def main():
     ap.add_argument("--voxel", type=float, default=0.03)
     ap.add_argument("--slam", action="store_true",
                     help="full pipeline with tracking instead of GT poses")
+    ap.add_argument("--texture", action="store_true",
+                    help="with --slam: online texturing + OBJ export")
     args = ap.parse_args()
 
     if args.size == "small":

@@ -105,3 +105,24 @@ def test_params_yaml_loading(tmp_path):
     assert cfg.tracking.minimum_disparity == 0.2
     assert cfg.tracking.hamming_threshold == 40
     assert cfg.camera.far_plane == 5.0
+
+
+def test_cli_synthetic_with_texture(tmp_path, monkeypatch):
+    from texturefusion_tpu.io import sensors
+
+    orig = sensors.SyntheticSensor
+
+    def small(n_frames=30, camera=None):
+        return orig(n_frames=6, camera=CFG.camera)
+
+    monkeypatch.setattr(sensors, "SyntheticSensor", small)
+    from texturefusion_tpu.__main__ import main
+    out = str(tmp_path / "out_tex")
+    rc = main(["", "", "0.05", "4", "--out", out, "--max-frames", "6"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "fused.ply"))
+    assert os.path.exists(os.path.join(out, "stat.txt"))
+    # textured model may legitimately be skipped only if no chunk got a
+    # patch; with 6 frames of the box room it must exist
+    assert os.path.exists(os.path.join(out, "model.obj"))
+    assert os.path.exists(os.path.join(out, "model.png"))

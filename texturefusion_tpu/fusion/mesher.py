@@ -83,11 +83,13 @@ class IncrementalMesher:
         col = np.asarray(mesh.colors)
         val = np.asarray(mesh.vert_valid)
         tris = np.asarray(mesh.triangles)
+        # bulk triangle validity over the whole batch (one pass), then a
+        # light per-chunk remap of only the surviving geometry
+        safe = np.maximum(tris, 0)
+        u_idx = np.arange(tris.shape[0])[:, None, None]
+        tri_ok = (tris >= 0).all(axis=-1) & val[u_idx, safe].all(axis=-1)
         for u, slot in enumerate(slots.tolist()):
-            t = tris[u]
-            t = t[(t >= 0).all(axis=-1)]
-            if len(t):
-                t = t[val[u][t].all(axis=-1)]
+            t = tris[u][tri_ok[u]]
             if len(t) == 0:
                 self.meshes.pop(slot, None)
                 continue
