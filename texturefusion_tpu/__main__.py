@@ -86,8 +86,6 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import dataclasses
-
-    import jax.numpy as jnp
     import numpy as np
 
     from texturefusion_tpu.config import PipelineConfig, TSDFConfig

@@ -7,8 +7,6 @@ open_chisel/geometry/*) and the ChunkID hashing scheme
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 import numpy as np
 

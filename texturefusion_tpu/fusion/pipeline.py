@@ -223,9 +223,19 @@ class ReconstructionPipeline:
 
     # --------------------------------------------------------------- export
 
-    def export_mesh(self, path: str) -> int:
+    def export_mesh(self, path: str, weld: bool = True) -> int:
+        """PLY export; `weld` merges the duplicated chunk-boundary
+        vertices (each chunk owns its 9³ edge grid, so shared-face
+        vertices appear twice) via fine vertex clustering
+        (ref: CompressMeshes Chisel.cpp:112-147)."""
         from texturefusion_tpu.io import ply
+        from texturefusion_tpu.ops.simplify import simplify_by_clustering
+
         verts, faces, colors, normals = self.mesher.full_mesh()
+        if weld and len(verts):
+            cell = self.config.tsdf.voxel_resolution * 0.25
+            verts, faces, colors, normals = simplify_by_clustering(
+                verts, faces, cell, colors, normals)
         ply.save_ply(path, verts, faces, colors, normals)
         return len(verts)
 

@@ -7,7 +7,6 @@ writer (ref: BasicAPI.cpp:74-91 saveTrajectoryFrameList).
 
 from __future__ import annotations
 
-import struct
 from typing import Optional
 
 import numpy as np

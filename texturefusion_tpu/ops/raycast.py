@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 from texturefusion_tpu.config import TSDFConfig
 from texturefusion_tpu.core import camera as cam
-from texturefusion_tpu.core import geometry, se3
+from texturefusion_tpu.core import geometry
+from texturefusion_tpu.core import se3
 from texturefusion_tpu.ops.tsdf import RESET_SDF
 
 

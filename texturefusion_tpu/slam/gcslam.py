@@ -30,7 +30,7 @@ from texturefusion_tpu.core import camera as cam
 from texturefusion_tpu.core import se3
 from texturefusion_tpu.slam import fastba, loopclosure
 from texturefusion_tpu.slam.features import Keypoints, extract_features
-from texturefusion_tpu.slam.matching import TwoViewResult, huber_weights, register_frames
+from texturefusion_tpu.slam.matching import TwoViewResult, register_frames
 
 
 @dataclasses.dataclass

@@ -16,7 +16,7 @@ whose salient score (sim − σ)/μ exceeds the threshold (1.5), top-5.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp
