@@ -22,10 +22,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from texturefusion_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def main():
-    from texturefusion_tpu.config import (CameraConfig, PipelineConfig,
-                                          TrackingConfig, TSDFConfig)
+    from texturefusion_tpu.config import (CameraConfig, ParallelConfig,
+                                          PipelineConfig, TrackingConfig,
+                                          TSDFConfig)
     from texturefusion_tpu.core import camera as cam
     from texturefusion_tpu.fusion.pipeline import ReconstructionPipeline
     from texturefusion_tpu.io import synthetic
@@ -35,11 +40,12 @@ def main():
         tracking=TrackingConfig(blur_threshold=0.0),
         tsdf=TSDFConfig(voxel_resolution=0.02, capacity=16384,
                         max_update_chunks=1024),
+        parallel=ParallelConfig(async_fusion=True),
     )
     intr = cam.Intrinsics.from_config(config.camera)
     scene = synthetic.BoxRoomScene()
     n_frames = 40
-    n_warm = 8
+    n_warm = 12
     poses = synthetic.orbit_trajectory(n_frames)
     from texturefusion_tpu.ops.preprocess import pack_frame
     cache = f"/tmp/tf_bench_frames_{intr.width}x{intr.height}_{n_frames}.npz"
@@ -69,6 +75,10 @@ def main():
     jax.block_until_ready(pipe.volume.batch.sdf)
     dt = time.perf_counter() - t0
     fps = (n_frames - n_warm) / dt
+
+    from texturefusion_tpu.utils.stopwatch import STOPWATCH
+    print("stats:", pipe.stats, file=sys.stderr)
+    print(STOPWATCH.report(), file=sys.stderr)
 
     print(json.dumps({
         "metric": "pipeline_fps_per_chip",

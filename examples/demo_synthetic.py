@@ -19,6 +19,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from texturefusion_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from texturefusion_tpu.config import CameraConfig, PipelineConfig, TSDFConfig
 from texturefusion_tpu.core import camera as cam
 from texturefusion_tpu.fusion.chunkmap import TSDFVolume

@@ -9,6 +9,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from texturefusion_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def timeit(name, fn, n=5):
     fn()  # warmup/compile

@@ -23,3 +23,8 @@ jax.config.update("jax_enable_x64", False)
 jax.config.update("jax_default_matmul_precision", "highest")
 
 assert len(jax.devices()) == 8, jax.devices()
+
+# persistent compile cache: repeat test runs skip recompilation
+from texturefusion_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache("/tmp/tf_tpu_test_jax_cache")

@@ -78,3 +78,22 @@ def test_observations_recorded_for_texture(ran):
     # keyframe observations must exist for the MRF data costs
     n_obs = sum(len(v) for v in ran.volume.observations.values())
     assert n_obs > 0
+
+
+def test_async_fusion_matches_sync(seq):
+    from texturefusion_tpu.config import ParallelConfig
+    poses, depths, rgbs = seq
+    cfg = CFG.replace(parallel=ParallelConfig(async_fusion=True))
+    pipe = ReconstructionPipeline(cfg)
+    for i in range(len(poses)):
+        pipe.process_frame(jnp.asarray(depths[i]), jnp.asarray(rgbs[i]),
+                           timestamp=float(i))
+    pipe.finish()
+    est = pipe.trajectory()
+    rmse = tum.ate_rmse(est, np.stack(poses))
+    assert rmse < 0.02, rmse
+    verts, faces, colors, normals = pipe.mesher.full_mesh()
+    assert len(verts) > 500
+    verts_w = verts @ poses[0][:3, :3].T + poses[0][:3, 3]
+    sdf = np.abs(np.asarray(SCENE.sdf(jnp.asarray(verts_w))))
+    assert np.median(sdf) < CFG.tsdf.voxel_resolution

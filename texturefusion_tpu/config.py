@@ -134,6 +134,10 @@ class ParallelConfig:
     data_axis: str = "chunks"          # TSDF chunk slots sharded over this axis
     edge_axis: str = "edges"           # BA edges sharded over this axis
     n_devices: Optional[int] = None    # None = use all available
+    # run fusion cycles on a worker thread so keyframe-rate fusion work
+    # overlaps frame-rate tracking — the reference's two-thread pipeline
+    # (ref: MobileFusion.cpp:92-112 MapManagement ∥ tracking)
+    async_fusion: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

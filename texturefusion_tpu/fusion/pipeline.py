@@ -64,6 +64,33 @@ class ReconstructionPipeline:
         self.kf_states: Dict[int, KeyframeFusionState] = {}
         self._last_seen_kf = -1
         self.stats = {"frames": 0, "keyframes": 0, "reintegrations": 0}
+        # optional fusion worker thread (ref: the map thread,
+        # MobileFusion.cpp:99-112) — fusion cycles run off the tracking
+        # critical path; cycles stay serialized with each other
+        self._fusion_executor = None
+        self._fusion_future = None
+        if config.parallel.async_fusion:
+            import concurrent.futures
+            self._fusion_executor = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="fusion")
+
+    def _submit_fusion(self, slot: int) -> None:
+        if self._fusion_executor is None:
+            self.fusion_cycle(slot)
+            return
+        prev = self._fusion_future
+
+        def run():
+            if prev is not None:
+                prev.result()   # cycles remain ordered
+            self.fusion_cycle(slot)
+
+        self._fusion_future = self._fusion_executor.submit(run)
+
+    def _drain_fusion(self) -> None:
+        if self._fusion_future is not None:
+            self._fusion_future.result()
+            self._fusion_future = None
 
     # --------------------------------------------------------------- frames
 
@@ -124,7 +151,7 @@ class ReconstructionPipeline:
             # (ref: MobileFusion.cpp:274-406 runs on kflist.size()-2)
             prev = frame.keyframe_slot - 1
             if prev >= 0:
-                self.fusion_cycle(prev)
+                self._submit_fusion(prev)
         else:
             # accumulate local-frame depth for keyframe refinement +
             # depth-only integration (ref: refineKeyframesSIMD usage
@@ -151,6 +178,7 @@ class ReconstructionPipeline:
     def finish(self) -> None:
         """Flush: fuse remaining keyframes and run final re-integration
         at optimized poses (ref: main.cpp:213-317 finalization)."""
+        self._drain_fusion()
         self.slam.final_ba()
         for slot in range(len(self.slam.keyframes)):
             st = self.kf_states.get(slot)

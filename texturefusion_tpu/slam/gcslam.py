@@ -391,11 +391,15 @@ class GCSLAM:
             n_inl = float(stats[1])
             # promotion gates (ref: GCSLAM.cpp:315-327) plus an overlap
             # gate: when the inlier count vs the keyframe decays, promote
-            # BEFORE tracking breaks on a wide baseline
+            # BEFORE tracking breaks on a wide baseline. A minimum frame
+            # gap bounds the keyframe (and fusion-cycle) cadence
+            # (ref: settings.yaml keyframe_minimum_distance: 4)
             overlap_low = n_inl < self.cfg.min_matches * 2
-            if (disparity > self.cfg.minimum_disparity
-                    or scale > self.cfg.scale_change_ratio
-                    or overlap_low):
+            far_enough = (frame.index - last_kf.frame_index
+                          >= self.cfg.keyframe_min_distance)
+            if far_enough and (disparity > self.cfg.minimum_disparity
+                               or scale > self.cfg.scale_change_ratio
+                               or overlap_low):
                 is_blurred = blurred() if callable(blurred) else blurred
                 frame.blurred = bool(is_blurred)
                 promote = not is_blurred
