@@ -61,8 +61,18 @@ def main():
 
     from texturefusion_tpu.io.prefetch import prefetch_frames
 
+    # warmup pass: play the WHOLE sequence once through a throwaway
+    # pipeline — this compiles every jit variant the timed pass will hit
+    # (including late-appearing bucket sizes: BA keyframe/edge buckets,
+    # mesher batch buckets) and warms every device→host fetch shape
+    warm = ReconstructionPipeline(config)
+    for i in range(n_frames):
+        warm.process_frame(jnp.asarray(packed[i]), timestamp=float(i))
+    warm._drain_fusion()
+    jax.block_until_ready(warm.volume.batch.sdf)
+    del warm
+
     pipe = ReconstructionPipeline(config)
-    # warmup: compiles every jit in the frame path (incl. keyframe path)
     for i in range(n_warm):
         pipe.process_frame(jnp.asarray(packed[i]), timestamp=float(i))
     jax.block_until_ready(pipe.volume.batch.sdf)
@@ -72,6 +82,7 @@ def main():
     t0 = time.perf_counter()
     for ts, frame in stream:
         pipe.process_frame(frame, timestamp=ts)
+    pipe._drain_fusion()
     jax.block_until_ready(pipe.volume.batch.sdf)
     dt = time.perf_counter() - t0
     fps = (n_frames - n_warm) / dt

@@ -211,6 +211,32 @@ class TSDFVolume:
             self._mark_dirty(chunk_slots[updated_np[:len(chunk_slots)]])
         return all_slots
 
+    def integrate_local_depths(self, depths: List[jnp.ndarray],
+                               cam_to_worlds: List[np.ndarray],
+                               slots: np.ndarray,
+                               sign: float = 1.0) -> None:
+        """Depth-only integration of several local frames into an
+        already-discovered chunk set: ONE device dispatch for all frames
+        (ref: MobileFusion.cpp:187-203 — the per-keyframe local-frame
+        loop). No host fetches: dirty marks come from the keyframe pass
+        that shares the same slots."""
+        if len(depths) == 0 or len(slots) == 0:
+            return
+        # pad to the static per-keyframe budget (zero depth = no-op
+        # frame) so the program compiles exactly once
+        f_max = max(self.cfg.local_frames_per_keyframe, len(depths))
+        d = jnp.stack([jnp.asarray(x) for x in depths]
+                      + [jnp.zeros((self.intr.height, self.intr.width),
+                                   jnp.float32)] * (f_max - len(depths)))
+        p = jnp.asarray(np.stack(
+            list(cam_to_worlds)
+            + [np.eye(4)] * (f_max - len(cam_to_worlds))).astype(np.float32))
+        for start in range(0, len(slots), self.cfg.max_update_chunks):
+            idx, active = self._padded(slots[start:start + self.cfg.max_update_chunks])
+            self.batch = tsdf_ops.integrate_depths_scan(
+                self.batch, self.origins, idx, active, d, p,
+                jnp.float32(sign), self.intr, self.cfg)
+
     def _mark_dirty(self, slots: np.ndarray) -> None:
         """Updated chunks and their 6-neighbors need remeshing
         (ref: Chisel.h:184-216 FinalizeIntegrateChunks dirty marks)."""

@@ -44,14 +44,21 @@ class KeyframeFusionState:
 
     kf_slot: int
     frame_index: int
-    depth: np.ndarray              # refined depth (fused from local frames)
-    rgb: np.ndarray                # uint8 (memory: ~1MB/keyframe at VGA)
-    quality: np.ndarray
-    local_depths: List[np.ndarray]          # subsampled local-frame depths
+    depth: "jnp.ndarray"           # refined depth, DEVICE-resident
+    rgb: "jnp.ndarray"             # uint8, DEVICE-resident (~1MB/kf at VGA)
+    quality: "jnp.ndarray"         # device-resident
+    local_depths: List["jnp.ndarray"]       # subsampled local-frame depths
     local_rel_poses: List[np.ndarray]       # frame→keyframe relative poses
-    depth_weight: Optional[np.ndarray] = None   # running fusion weight
+    depth_weight: Optional["jnp.ndarray"] = None  # running fusion weight
     integrated_pose: Optional[np.ndarray] = None   # pose_sophus[1]
     integrated: bool = False
+    rgb_host: Optional[np.ndarray] = None   # lazy uint8 host copy
+
+    def rgb_np(self) -> np.ndarray:
+        """Host uint8 copy, fetched once (texture blits / PNG export)."""
+        if self.rgb_host is None:
+            self.rgb_host = np.asarray(self.rgb)
+        return self.rgb_host
 
 
 class ReconstructionPipeline:
@@ -106,17 +113,32 @@ class ReconstructionPipeline:
         arrays also accepted."""
         intr = self.intr
         kp = res = None
+        fused_kf = None
         last_kf = self.slam.last_keyframe
         with STOPWATCH.time("preprocess"):
             if last_kf is not None:
-                # steady state: preprocessing + features + registration
-                # in ONE dispatch (models.reconstruction.track_frame_fused)
+                # steady state: preprocessing + features + registration +
+                # keyframe depth refinement in ONE dispatch
+                # (models.reconstruction.frame_step_tracked)
                 from texturefusion_tpu.models.reconstruction import \
-                    track_frame_fused
+                    frame_step_tracked
                 kp_ref = self.slam.frames[last_kf.frame_index].keypoints
-                bundle, kp, res = track_frame_fused(
-                    depth_raw, rgb, kp_ref, self.slam._split_key(), intr,
+                st_ref = self.kf_states.get(last_kf.slot)
+                if st_ref is not None and st_ref.depth_weight is None:
+                    st_ref.depth_weight = (jnp.asarray(st_ref.depth) > 0
+                                           ).astype(jnp.float32)
+                kf_depth = (st_ref.depth if st_ref is not None
+                            else jnp.zeros((intr.height, intr.width),
+                                           jnp.float32))
+                kf_weight = (st_ref.depth_weight if st_ref is not None
+                             else jnp.zeros((intr.height, intr.width),
+                                            jnp.float32))
+                bundle, kp, res, f_depth, f_weight = frame_step_tracked(
+                    depth_raw, rgb, kp_ref, kf_depth, kf_weight,
+                    self.slam.base_key,
+                    np.int32(len(self.slam.frames)), intr,
                     self.config.tracking, self.config.camera.depth_scale)
+                fused_kf = (f_depth, f_weight)
             else:
                 bundle = preprocess.preprocess_bundle(
                     depth_raw, rgb, intr,
@@ -142,9 +164,9 @@ class ReconstructionPipeline:
             self.kf_states[frame.keyframe_slot] = KeyframeFusionState(
                 kf_slot=frame.keyframe_slot,
                 frame_index=frame.index,
-                depth=np.asarray(depth_refined),
-                rgb=(np.asarray(rgb) * 255).astype(np.uint8),
-                quality=np.asarray(quality),
+                depth=depth_refined,                      # device-resident
+                rgb=(rgb * 255).astype(jnp.uint8),        # device-resident
+                quality=quality,                          # device-resident
                 local_depths=[], local_rel_poses=[])
             self.stats["keyframes"] += 1
             # previous keyframe is now finished → fusion cycle
@@ -160,20 +182,28 @@ class ReconstructionPipeline:
             if st is not None and frame.tracking_success:
                 n_keep = self.config.tsdf.local_frames_per_keyframe
                 if len(st.local_depths) < n_keep:
-                    st.local_depths.append(np.asarray(depth_refined))
+                    st.local_depths.append(depth_refined)  # device-resident
                     st.local_rel_poses.append(frame.rel_to_keyframe)
                 if not st.integrated:
-                    # running-weight depth fusion into the keyframe
-                    # (ref: refineKeyframesSIMD BasicAPI.cpp:506-635)
+                    # adopt the keyframe depth refined INSIDE the fused
+                    # frame step (ref: refineKeyframesSIMD
+                    # BasicAPI.cpp:506-635) — zero extra dispatches
                     with STOPWATCH.time("kf_refine"):
-                        if st.depth_weight is None:
-                            st.depth_weight = (st.depth > 0).astype(np.float32)
-                        fused, w = preprocess.fuse_depth_into_keyframe(
-                            jnp.asarray(st.depth), jnp.asarray(st.depth_weight),
-                            depth_refined,
-                            jnp.asarray(frame.rel_to_keyframe), intr)
-                        st.depth = np.asarray(fused)
-                        st.depth_weight = np.asarray(w)
+                        if fused_kf is not None \
+                                and st.kf_slot == last_kf.slot:
+                            st.depth, st.depth_weight = fused_kf
+                        else:
+                            if st.depth_weight is None:
+                                st.depth_weight = (
+                                    jnp.asarray(st.depth) > 0
+                                ).astype(jnp.float32)
+                            rel = (frame.rel_pose_dev
+                                   if frame.rel_pose_dev is not None
+                                   else jnp.asarray(frame.rel_to_keyframe))
+                            st.depth, st.depth_weight = \
+                                preprocess.fuse_depth_into_keyframe(
+                                    jnp.asarray(st.depth), st.depth_weight,
+                                    depth_refined, rel, intr)
 
     def finish(self) -> None:
         """Flush: fuse remaining keyframes and run final re-integration
@@ -201,13 +231,14 @@ class ReconstructionPipeline:
             jnp.asarray(st.quality), pose_j, keyframe_id=kf_id, sign=sign)
         # local frames: depth-only, reusing the keyframe's chunk set — the
         # local frames view (almost) the same volume (tracked below the
-        # disparity gate), so re-discovery per frame is redundant
+        # disparity gate), so re-discovery per frame is redundant; all of
+        # them integrate in ONE scanned dispatch
         # (ref: MobileFusion.cpp:187-203)
-        for d, rel in zip(st.local_depths, st.local_rel_poses):
-            self.volume.integrate_frame(
-                jnp.asarray(d), None, None,
-                jnp.asarray(pose @ rel), keyframe_id=None, sign=sign,
-                slots=slots)
+        if st.local_depths:
+            self.volume.integrate_local_depths(
+                st.local_depths,
+                [pose @ rel for rel in st.local_rel_poses],
+                slots, sign=sign)
         if sign > 0:
             st.integrated_pose = np.asarray(pose)
             st.integrated = True
@@ -293,8 +324,7 @@ class ReconstructionPipeline:
                 vals = list(w2c[:3].reshape(-1)) + [
                     self.intr.fx, self.intr.fy, self.intr.cx, self.intr.cy]
                 f.write(" ".join(f"{v:.8f}" for v in vals) + "\n")
-            img = st.rgb if st.rgb.dtype == np.uint8 else \
-                (st.rgb * 255).astype(np.uint8)
+            img = st.rgb_np()
             cv2.imwrite(os.path.join(out_dir, f"{slot:06d}.png"),
                         cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
             n += 1
@@ -351,7 +381,7 @@ class TexturedPipeline(ReconstructionPipeline):
             for slot, st in self.kf_states.items():
                 tex_states[slot] = types.SimpleNamespace(
                     pose=self.slam.keyframe_pose(slot),
-                    rgb=st.rgb.astype(np.float32) / 255.0,
+                    rgb=st.rgb_np().astype(np.float32) / 255.0,
                     depth=st.depth)
             self.texture.update(self.volume, self.mesher, tex_states,
                                 newest_kf=len(self.slam.keyframes) - 1,

@@ -73,6 +73,44 @@ def track_frame_fused(packed_or_depth, rgb, kp_ref, key,
     return bundle, kp, res
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("intr", "tcfg", "depth_scale"))
+def frame_step_tracked(packed_or_depth, rgb, kp_ref, kf_depth, kf_weight,
+                       base_key, frame_idx,
+                       intr: cam.Intrinsics, tcfg, depth_scale: float):
+    """The COMPLETE steady-state per-frame device program in one
+    dispatch: preprocessing bundle + feature extraction + registration
+    against the last keyframe + running-weight keyframe depth refinement
+    (ref: the whole per-frame loop main.cpp:106-135 including
+    refineKeyframesSIMD BasicAPI.cpp:506-635).
+
+    On a tunneled device every dispatch costs ~10-25 ms of RPC latency,
+    so the frame path is exactly ONE dispatch + ONE 1D stats fetch. The
+    PRNG key derives from (base_key, frame_idx) on device — no per-frame
+    host-side key splitting.
+
+    The refined keyframe depth/weight outputs are gated on registration
+    success inside the program; the host adopts them only when the frame
+    stays a local frame of the current keyframe.
+
+    Returns (bundle, kp, res, fused_kf_depth, fused_kf_weight)."""
+    from texturefusion_tpu.slam.features import extract_features
+    from texturefusion_tpu.slam.matching import register_frames
+
+    key = jax.random.fold_in(base_key, frame_idx)
+    bundle = preprocess.preprocess_bundle(packed_or_depth, rgb, intr,
+                                          depth_scale=depth_scale)
+    depth_refined = bundle[0]
+    kp = extract_features(bundle[3], depth_refined, tcfg, intr)
+    res = register_frames(kp_ref, kp, key, tcfg, intr)
+    fused, w = preprocess.fuse_depth_into_keyframe(
+        kf_depth, kf_weight, depth_refined, res.pose, intr)
+    ok = res.success
+    fused = jnp.where(ok, fused, kf_depth)
+    w = jnp.where(ok, w, kf_weight)
+    return bundle, kp, res, fused, w
+
+
 class MultichipState(NamedTuple):
     batch: tsdf_ops.ChunkBatch   # chunk-sharded TSDF rows
     origins: jnp.ndarray         # [S, 3] chunk-sharded

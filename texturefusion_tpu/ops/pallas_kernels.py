@@ -81,11 +81,11 @@ def bilateral_filter_pallas(depth: jnp.ndarray, radius: int = 4,
         kernel,
         out_shape=jax.ShapeDtypeStruct((h, w), depth.dtype),
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)
                   if not _on_tpu() else
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((tile_h, w), lambda i: (i, 0),
-                               memory_space=pltpu.ANY
+                               memory_space=pl.ANY
                                if not _on_tpu() else pltpu.VMEM),
         interpret=not _on_tpu(),
     )(padded)

@@ -92,8 +92,17 @@ def integrate_chunks(
               & (z_vox > 0))
     flat = jnp.clip(vi, 0, intr.height - 1) * intr.width + jnp.clip(ui, 0, intr.width - 1)
 
-    depth_flat = depth.reshape(-1)
-    d = jnp.where(in_img, depth_flat[flat], 0.0)                           # [U,V]
+    if with_color:
+        # ONE gather for all per-pixel data: [HW, 5] = depth|rgb|quality
+        # (three separate gathers triple the dominant HBM cost)
+        packed = jnp.concatenate(
+            [depth.reshape(-1, 1), rgb.reshape(-1, 3) * 255.0,
+             quality_map.reshape(-1, 1)], axis=-1)
+        g = packed[flat]                                                   # [U,V,5]
+        d = jnp.where(in_img, g[..., 0], 0.0)
+    else:
+        depth_flat = depth.reshape(-1)
+        d = jnp.where(in_img, depth_flat[flat], 0.0)                       # [U,V]
     surface_dist = d - z_vox
 
     # truncation once per chunk, at the chunk origin's camera depth
@@ -121,8 +130,7 @@ def integrate_chunks(
     if with_color:
         color_band = jnp.abs(surface_dist) < (res_diag * 0.5 + cfg.color_band_pad)
         cupd = in_img & depth_ok & color_band & active[:, None]
-        rgb_flat = rgb.reshape(-1, 3)
-        rgb255 = jnp.where(cupd[..., None], rgb_flat[flat] * 255.0, 0.0)    # [U,V,3]
+        rgb255 = jnp.where(cupd[..., None], g[..., 1:4], 0.0)               # [U,V,3]
         csign = jnp.where(cupd, sign, 0.0)
         new_color = batch.color + rgb255 * sign
         new_ccnt = batch.color_count + csign
@@ -133,8 +141,7 @@ def integrate_chunks(
         new_color = jnp.where(cupd[..., None], new_color, batch.color)
         new_ccnt = jnp.where(cupd, new_ccnt, batch.color_count)
 
-        q_flat = quality_map.reshape(-1)
-        qv = jnp.where(cupd, q_flat[flat], 0.0)
+        qv = jnp.where(cupd, g[..., 4], 0.0)
         quality = jnp.sum(qv, axis=-1)
         # partial-observation veto: chunk has voxels projecting out of image
         partial = jnp.any(~in_img & active[:, None] & (z_vox > 0), axis=-1)
@@ -262,6 +269,41 @@ def integrate_frame_fused(
     out = ChunkBatch(*(full.at[idx].set(part)
                        for full, part in zip(batch, sub)))
     return out, quality, updated
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "cfg"),
+                   donate_argnames=("batch",))
+def integrate_depths_scan(
+    batch: ChunkBatch,             # FULL slot arrays [S+1, ...] (donated)
+    origins_full: jnp.ndarray,     # [S+1, 3]
+    idx: jnp.ndarray,              # [U] slot indices (trash-padded)
+    active: jnp.ndarray,           # [U]
+    depths: jnp.ndarray,           # [F, H, W] depth-only frames
+    cam_to_worlds: jnp.ndarray,    # [F, 4, 4]
+    sign: jnp.ndarray,
+    intr: cam.Intrinsics,
+    cfg: TSDFConfig,
+) -> ChunkBatch:
+    """Depth-only integration of F frames into one chunk set in a single
+    compiled program (lax.scan over frames) — the reference integrates a
+    keyframe's tracked local frames one by one on the map thread
+    (ref: MobileFusion.cpp:187-203); here all of them cost ONE dispatch.
+    """
+    sub = ChunkBatch(*(a[idx] for a in batch))
+    zero_img = jnp.zeros((intr.height, intr.width), depths.dtype)
+    rgb = jnp.zeros((intr.height, intr.width, 3), depths.dtype)
+    origins = origins_full[idx]
+
+    def body(carry, fr):
+        depth, pose = fr
+        out, _, _ = integrate_chunks(carry, origins, active, depth, rgb,
+                                     zero_img, pose, sign, intr, cfg,
+                                     with_color=False)
+        return out, None
+
+    sub, _ = jax.lax.scan(body, sub, (depths, cam_to_worlds))
+    return ChunkBatch(*(full.at[idx].set(part)
+                        for full, part in zip(batch, sub)))
 
 
 def make_empty_batch(u: int, v: int, dtype=jnp.float32) -> ChunkBatch:

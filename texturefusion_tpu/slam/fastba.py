@@ -290,14 +290,17 @@ def prune_outlier_edges(poses: jnp.ndarray, edges: EdgeSums,
     return edges._replace(valid=jnp.where(odo, edges.valid, keep))
 
 
+@functools.partial(jax.jit, static_argnames=("n_kf", "cfg"))
 def optimize(poses: jnp.ndarray, edges: EdgeSums, n_kf: int,
              active: jnp.ndarray, cfg: BAConfig):
-    """Full robust optimization: rounds of GN with pruning in between
-    (ref: optimizeKeyFrameMap :1209-1217 — 3 robust rounds)."""
+    """Full robust optimization: rounds of GN with pruning in between,
+    ONE compiled program and zero host syncs
+    (ref: optimizeKeyFrameMap :1209-1217 — 3 robust rounds).
+    Returns (poses, edges, errs [rounds, 2] device array)."""
     errs = []
     for r in range(cfg.gn_rounds):
         poses, e0, e1 = gauss_newton_rounds(poses, edges, n_kf, active, cfg)
-        errs.append((float(e0), float(e1)))
+        errs.append(jnp.stack([e0, e1]))
         if r < cfg.gn_rounds - 1:
             edges = prune_outlier_edges(poses, edges)
-    return poses, edges, errs
+    return poses, edges, jnp.stack(errs)

@@ -71,20 +71,28 @@ def _shift2d(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
 
 
 def fast_score(gray: jnp.ndarray, threshold: float) -> jnp.ndarray:
-    """FAST-9/16 corner response for every pixel (0 for non-corners)."""
-    diffs = jnp.stack(
-        [_shift2d(gray, int(dy), int(dx)) - gray for dx, dy in _FAST_OFFSETS],
-        axis=0)                                           # [16, H, W]
-    brighter = diffs > threshold
-    darker = diffs < -threshold
-    # contiguous arc of length >= 9 in the circular 16: OR over the 16
-    # rotations of an AND over a 9-window
-    wrap_b = jnp.concatenate([brighter, brighter[:8]], axis=0)
-    wrap_d = jnp.concatenate([darker, darker[:8]], axis=0)
-    arc_b = jnp.stack([jnp.all(wrap_b[s:s + 9], axis=0) for s in range(16)]).any(0)
-    arc_d = jnp.stack([jnp.all(wrap_d[s:s + 9], axis=0) for s in range(16)]).any(0)
-    is_corner = arc_b | arc_d
-    score = jnp.sum(jnp.maximum(jnp.abs(diffs) - threshold, 0.0), axis=0)
+    """FAST-9/16 corner response for every pixel (0 for non-corners).
+
+    The 16 circle samples are bit-packed into one int32 per pixel so the
+    "contiguous arc ≥ 9" test becomes 16 shift/mask compares on the VPU
+    instead of 144 boolean-array ANDs (the popcnt-style trick the
+    reference's AVX path plays with movemask)."""
+    bits_b = jnp.zeros(gray.shape, jnp.int32)
+    bits_d = jnp.zeros(gray.shape, jnp.int32)
+    score = jnp.zeros(gray.shape, gray.dtype)
+    for i, (dx, dy) in enumerate(_FAST_OFFSETS):
+        diff = _shift2d(gray, int(dy), int(dx)) - gray
+        bits_b = bits_b | (diff > threshold).astype(jnp.int32) << i
+        bits_d = bits_d | (diff < -threshold).astype(jnp.int32) << i
+        score = score + jnp.maximum(jnp.abs(diff) - threshold, 0.0)
+    # wrap the circular 16 bits to 32 so every window start is a plain shift
+    wrap_b = bits_b | (bits_b << 16)
+    wrap_d = bits_d | (bits_d << 16)
+    need = (1 << 9) - 1
+    is_corner = jnp.zeros(gray.shape, bool)
+    for s in range(16):
+        is_corner = is_corner | (((wrap_b >> s) & need) == need) \
+                              | (((wrap_d >> s) & need) == need)
     return jnp.where(is_corner, score, 0.0)
 
 
@@ -108,56 +116,70 @@ def _box_blur(img: jnp.ndarray, r: int = 2) -> jnp.ndarray:
     return out
 
 
-def _moment_maps(blur: jnp.ndarray, radius: int = 11):
-    """Whole-image intensity-centroid moments m10/m01 via two depthwise
-    convolutions — O(HW·P) shared across all keypoints instead of
-    per-keypoint patch gathers (the reference computes IC_Angle per
-    keypoint serially; ref: ORBextractor IC_Angle)."""
-    offs = np.asarray([(dy, dx) for dy in range(-radius, radius + 1)
-                       for dx in range(-radius, radius + 1)
-                       if dx * dx + dy * dy <= radius * radius], np.float32)
-    size = 2 * radius + 1
-    kx = np.zeros((size, size), np.float32)
-    ky = np.zeros((size, size), np.float32)
-    for dy, dx in offs:
-        kx[int(dy) + radius, int(dx) + radius] = dx
-        ky[int(dy) + radius, int(dx) + radius] = dy
-    img = blur[None, None]
-
-    def conv(kernel):
-        # cross-correlation: m(y,x) = Σ I(y+dy, x+dx)·w(dy,dx)
-        k = jnp.asarray(kernel[::-1, ::-1])[None, None]
-        return jax.lax.conv_general_dilated(
-            img, k, (1, 1), "SAME")[0, 0]
-
-    return conv(kx), conv(ky)
+# Patch geometry: descriptor taps reach |xy| ≤ 13 after rotation
+# (pattern clip) and the IC-angle disc has radius 11, so a 32×32 patch
+# centered at (15, 15) covers both with margin. The per-level border mask
+# (16 px) guarantees patches never leave the image.
+_PATCH = 32
+_PATCH_C = 15
+_IC_RADIUS = 11
 
 
-def _ic_angle(blur: jnp.ndarray, uv: jnp.ndarray, radius: int = 11) -> jnp.ndarray:
-    """Intensity-centroid orientation (ref: ORBextractor IC_Angle),
-    via precomputed moment maps + one bilinear sample per keypoint."""
-    m10_map, m01_map = _moment_maps(blur, radius)
-    m10, _ = cam.bilinear_sample(m10_map, uv)
-    m01, _ = cam.bilinear_sample(m01_map, uv)
+def _ic_weights() -> Tuple[np.ndarray, np.ndarray]:
+    yy, xx = np.mgrid[0:_PATCH, 0:_PATCH]
+    dx = (xx - _PATCH_C).astype(np.float32)
+    dy = (yy - _PATCH_C).astype(np.float32)
+    disc = (dx * dx + dy * dy) <= _IC_RADIUS * _IC_RADIUS
+    return np.where(disc, dx, 0.0), np.where(disc, dy, 0.0)
+
+
+_IC_DX, _IC_DY = _ic_weights()
+
+
+def _extract_patches(blur: jnp.ndarray, vy: jnp.ndarray,
+                     vx: jnp.ndarray) -> jnp.ndarray:
+    """[K, 32, 32] patches around integer keypoint centers.
+
+    One batched gather instead of per-keypoint work: everything
+    downstream (orientation, descriptor taps) then runs on [K, 1024]
+    on-chip data — the TPU answer to the reference's per-keypoint
+    IC_Angle/descriptor loops (ref: ORBextractor.cpp)."""
+    y0 = vy.astype(jnp.int32) - _PATCH_C
+    x0 = vx.astype(jnp.int32) - _PATCH_C
+
+    def one(y, x):
+        return jax.lax.dynamic_slice(blur, (y, x), (_PATCH, _PATCH))
+
+    return jax.vmap(one)(y0, x0)
+
+
+def _ic_angle_patch(patches: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid orientation from the patch
+    (ref: ORBextractor IC_Angle semantics)."""
+    m10 = jnp.sum(patches * jnp.asarray(_IC_DX), axis=(1, 2))
+    m01 = jnp.sum(patches * jnp.asarray(_IC_DY), axis=(1, 2))
     return jnp.arctan2(m01, m10)
 
 
-def _descriptors(blur: jnp.ndarray, uv: jnp.ndarray,
-                 angle: jnp.ndarray) -> jnp.ndarray:
-    """Rotated point-pair comparisons -> packed [K, 8] uint32."""
+def _descriptors_patch(patches: jnp.ndarray,
+                       angle: jnp.ndarray) -> jnp.ndarray:
+    """Rotated point-pair comparisons → packed [K, 8] uint32.
+
+    Taps are nearest-rounded inside the patch (the reference ORB also
+    rounds, ORBextractor.cpp GET_VALUE) and fetched with a single
+    batched take_along_axis on [K, 1024] — no full-image gathers."""
     pat = jnp.asarray(_PATTERN)                          # [256, 4]
     ca, sa = jnp.cos(angle), jnp.sin(angle)              # [K]
-
-    def rot(x, y):
-        return (ca[:, None] * x[None] - sa[:, None] * y[None],
-                sa[:, None] * x[None] + ca[:, None] * y[None])
-
-    x1, y1 = rot(pat[:, 0], pat[:, 1])
-    x2, y2 = rot(pat[:, 2], pat[:, 3])
-    p1 = uv[:, None, :] + jnp.stack([x1, y1], axis=-1)
-    p2 = uv[:, None, :] + jnp.stack([x2, y2], axis=-1)
-    v1, _ = cam.bilinear_sample(blur, p1)
-    v2, _ = cam.bilinear_sample(blur, p2)
+    xy = jnp.stack([jnp.concatenate([pat[:, 0], pat[:, 2]]),
+                    jnp.concatenate([pat[:, 1], pat[:, 3]])], axis=0)  # [2,512]
+    rx = ca[:, None] * xy[0][None] - sa[:, None] * xy[1][None] + _PATCH_C
+    ry = sa[:, None] * xy[0][None] + ca[:, None] * xy[1][None] + _PATCH_C
+    ix = jnp.clip(jnp.round(rx).astype(jnp.int32), 0, _PATCH - 1)
+    iy = jnp.clip(jnp.round(ry).astype(jnp.int32), 0, _PATCH - 1)
+    flat = iy * _PATCH + ix                              # [K, 512]
+    vals = jnp.take_along_axis(patches.reshape(patches.shape[0], -1),
+                               flat, axis=1)
+    v1, v2 = vals[:, :256], vals[:, 256:]
     return hamming.pack_bits(v1 < v2)
 
 
@@ -226,8 +248,9 @@ def extract_features(gray: jnp.ndarray, depth: jnp.ndarray,
         ok = resp > 0
         uv_l = jnp.stack([vx, vy], axis=-1)
         blur = _box_blur(img)
-        ang = _ic_angle(blur, uv_l)
-        desc = _descriptors(blur, uv_l, ang)
+        patches = _extract_patches(blur, vy, vx)
+        ang = _ic_angle_patch(patches)
+        desc = _descriptors_patch(patches, ang)
         levels_uv.append(uv_l * scale)
         levels_resp.append(resp)
         levels_ang.append(ang)

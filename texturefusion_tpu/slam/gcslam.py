@@ -44,6 +44,7 @@ class FrameRecord:
     origin_index: int = 0
     blurred: bool = False
     keypoints: Optional[Keypoints] = None  # kept for keyframes only
+    rel_pose_dev: Optional[jnp.ndarray] = None  # device copy of rel pose
 
 
 @dataclasses.dataclass
@@ -77,6 +78,9 @@ class GCSLAM:
         self.fail_count = 0
         self.origin_count = 1
         self._key = jax.random.PRNGKey(42)
+        # base for device-side per-frame key derivation (fold_in) — the
+        # fused frame step needs no host-side split per frame
+        self.base_key = jax.random.PRNGKey(7)
         self.last_ba_errors: List = []
         # last-keyframe depth/normals kept only when ICP is enabled
         self._kf_depth = None
@@ -172,7 +176,7 @@ class GCSLAM:
             for r in range(self.config.ba.gn_rounds):
                 poses, e0, e1 = pba.distributed_gn(
                     poses, edges_s, bucket, active, self.config.ba, mesh)
-                errs.append((float(e0), float(e1)))
+                errs.append(jnp.stack([e0, e1]))   # device; fetched lazily
                 if r < self.config.ba.gn_rounds - 1:
                     edges_s = fastba.prune_outlier_edges(poses, edges_s)
             new_poses = poses
@@ -180,8 +184,12 @@ class GCSLAM:
         else:
             new_poses, edges, errs = fastba.optimize(
                 poses, edges, bucket, active, self.config.ba)
-        self.last_ba_errors = errs
-        self.poses[:bucket] = np.asarray(new_poses)
+        # keep errors device-resident (fetch only when read, e.g. tests);
+        # fetch poses as ONE flattened 1D transfer (2D/3D fetches are
+        # pathologically slow the first time on the tunneled backend)
+        self.last_ba_errors = list(errs)
+        self.poses[:bucket] = np.asarray(
+            new_poses.reshape(-1)).reshape(bucket, 4, 4)
         # write back pruned-edge validity
         self.edges = self.edges._replace(
             valid=self.edges.valid.at[:e_bucket].set(edges.valid))
@@ -203,7 +211,8 @@ class GCSLAM:
 
     def _update_keyframe(self, frame: FrameRecord, kp: Keypoints,
                          tracked: Optional[TwoViewResult],
-                         fallback_pose: Optional[np.ndarray] = None) -> None:
+                         fallback_pose: Optional[np.ndarray] = None,
+                         tracked_stats: Optional[np.ndarray] = None) -> None:
         """New-keyframe path: loop-closure candidates + registrations +
         edge insertion + FastBA (ref: GCSLAM.cpp:52-185 update_keyframe)."""
         sims = self.db.similarity(kp.desc, kp.valid)
@@ -229,19 +238,38 @@ class GCSLAM:
                                       len(cand_slots))]
 
         results = []
+        to_register = []
         for slot in cand_slots:
             kf_c = self.keyframes[slot]
             if kf_c.slot == last_slot and tracked is not None:
                 results.append((kf_c, tracked,
                                 self.frames[kf_c.frame_index].keypoints,
-                                np.asarray(tracked.stats)))
+                                tracked_stats if tracked_stats is not None
+                                else np.asarray(tracked.stats)))
                 continue
-            kp_ref = self.frames[kf_c.frame_index].keypoints
-            res = register_frames(kp_ref, kp, self._split_key(),
-                                  self.cfg, self.intr)
-            stats = np.asarray(res.stats)
-            if stats[0] > 0.5:
-                results.append((kf_c, res, kp_ref, stats))
+            to_register.append(slot)
+        if to_register:
+            # ALL candidate registrations in one vmapped dispatch + one
+            # 1D stats fetch (per-candidate dispatches cost ~40 ms each
+            # over the tunneled link; ref loops them, GCSLAM.cpp:104)
+            from texturefusion_tpu.slam.matching import (
+                register_frames_batch, stack_keypoints)
+            bucket = _next_bucket(len(to_register), lo=2)
+            padded = to_register + [to_register[0]] * (bucket - len(to_register))
+            kp_refs = stack_keypoints(
+                [self.frames[self.keyframes[s].frame_index].keypoints
+                 for s in padded])
+            keys = jax.random.split(self._split_key(), bucket)
+            bres = register_frames_batch(kp_refs, kp, keys,
+                                         self.cfg, self.intr)
+            stats_all = np.asarray(bres.stats.reshape(-1)).reshape(bucket, -1)
+            for i, slot in enumerate(to_register):
+                if stats_all[i, 0] > 0.5:
+                    res_i = jax.tree.map(lambda a, i=i: a[i], bres)
+                    kp_ref_i = self.frames[
+                        self.keyframes[slot].frame_index].keypoints
+                    results.append((self.keyframes[slot], res_i,
+                                    kp_ref_i, stats_all[i]))
 
         if not results:
             if fallback_pose is not None:
@@ -275,7 +303,7 @@ class GCSLAM:
         candidates_oldest = [r for r in results if r[0].origin_index == oldest]
         best = min(candidates_oldest, key=lambda r: float(r[3][3]))
         kf_best, res_best = best[0], best[1]
-        pose_world = self.poses[kf_best.slot] @ np.asarray(res_best.pose)
+        pose_world = self.poses[kf_best.slot] @ best[3][5:21].reshape(4, 4)
         frame.origin_index = kf_best.origin_index
         frame.tracking_success = True
         kf = self._promote_keyframe(frame, kp, pose_world.astype(np.float32))
@@ -293,7 +321,8 @@ class GCSLAM:
             o = kf_c.origin_index
             if o == adopted:
                 continue
-            pose_new_in_o = self.keyframe_pose(kf_c.slot) @ np.asarray(res.pose)
+            pose_new_in_o = (self.keyframe_pose(kf_c.slot)
+                             @ _stats[5:21].reshape(4, 4))
             t_align = (pose_new @ np.linalg.inv(pose_new_in_o)).astype(np.float32)
             for other in self.keyframes:
                 if other.origin_index == o:
@@ -365,7 +394,7 @@ class GCSLAM:
                                          self.cfg, self.intr)
                 stats_ff = np.asarray(res_ff.stats)
                 if stats_ff[0] > 0.5:
-                    rel = prev.rel_to_keyframe @ np.asarray(res_ff.pose)
+                    rel = prev.rel_to_keyframe @ stats_ff[5:21].reshape(4, 4)
                     chained_pose = self.poses[last_kf.slot] @ rel
                     frame.rel_to_keyframe = rel.astype(np.float32)
 
@@ -383,6 +412,9 @@ class GCSLAM:
                                                 icp_res.pose))
                 blended = se3.compose(res.pose, se3.se3_exp(delta * w))
                 res = res._replace(pose=blended)
+                # keep the fetched summary consistent (1D fetch only)
+                stats = np.concatenate(
+                    [stats[:5], np.asarray(blended.reshape(-1))])
 
         promote = False
         if success:
@@ -413,7 +445,8 @@ class GCSLAM:
             frame.tracking_success = True
             frame.is_keyframe = False
             frame.keyframe_slot = last_kf.slot
-            frame.rel_to_keyframe = np.asarray(res.pose)
+            frame.rel_to_keyframe = stats[5:21].reshape(4, 4).copy()
+            frame.rel_pose_dev = res.pose   # device-resident, no upload
             frame.origin_index = last_kf.origin_index
             last_kf.local_frames.append(frame.index)
             self.fail_count = 0
@@ -422,7 +455,8 @@ class GCSLAM:
 
         if promote:
             self._update_keyframe(frame, kp, res if success else None,
-                                  fallback_pose=chained_pose)
+                                  fallback_pose=chained_pose,
+                                  tracked_stats=stats if success else None)
             self._store_icp_reference(depth)
             self._prev_kp = kp
             return frame

@@ -233,10 +233,41 @@ def register_frames(kp_ref: Keypoints, kp_src: Keypoints, key: jax.Array,
 
     success = ((n_inl >= cfg.min_matches) & (mean_err < cfg.reproj_3d_threshold * 5)
                & jnp.all(jnp.isfinite(pose)))
-    stats = jnp.stack([success.astype(jnp.float32),
-                       n_inl.astype(jnp.float32), mean_err, disparity,
-                       scale_change])
+    # pose rides along flattened: the host reads ONE 1D buffer per frame
+    # (separate small-2D fetches trigger pathological relayout cost on
+    # the tunneled TPU backend)
+    stats = jnp.concatenate([
+        jnp.stack([success.astype(jnp.float32),
+                   n_inl.astype(jnp.float32), mean_err, disparity,
+                   scale_change]),
+        pose.reshape(-1)])
     return TwoViewResult(pose=pose, success=success, inliers=inl,
                          match_idx=idx, n_inliers=n_inl.astype(jnp.int32),
                          mean_error=mean_err, disparity=disparity,
                          scale_change=scale_change, stats=stats)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "intr"))
+def register_frames_batch(kp_refs: Keypoints, kp_src: Keypoints,
+                          keys: jax.Array, cfg: TrackingConfig,
+                          intr: cam.Intrinsics) -> TwoViewResult:
+    """Register one source frame against N stacked reference keyframes in
+    a single compiled program (vmap over the reference axis).
+
+    The reference registers loop-closure candidates one at a time on the
+    tracking thread (ref: GCSLAM.cpp:104 per-candidate
+    FrameMatchingTwoViewRGB); on a high-latency tunneled device each
+    dispatch+fetch costs ~40 ms, so the keyframe-promotion path batches
+    all candidates into one dispatch and ONE [N, 21] stats fetch.
+
+    kp_refs: Keypoints with a leading [N] axis on every leaf.
+    keys: [N] PRNG keys. Returns a TwoViewResult with leading [N] axes.
+    """
+    return jax.vmap(
+        lambda kr, k: register_frames(kr, kp_src, k, cfg, intr)
+    )(kp_refs, keys)
+
+
+def stack_keypoints(kps) -> Keypoints:
+    """Tree-stack a list of Keypoints along a new leading axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *kps)
