@@ -77,6 +77,9 @@ def main():
         pipe.process_frame(jnp.asarray(packed[i]), timestamp=float(i))
     jax.block_until_ready(pipe.volume.batch.sdf)
 
+    from texturefusion_tpu.utils.stopwatch import STOPWATCH
+    STOPWATCH.reset()   # drop warmup/compile time from per-stage averages
+
     stream = prefetch_frames((float(i), packed[i])
                              for i in range(n_warm, n_frames))
     t0 = time.perf_counter()
@@ -87,7 +90,6 @@ def main():
     dt = time.perf_counter() - t0
     fps = (n_frames - n_warm) / dt
 
-    from texturefusion_tpu.utils.stopwatch import STOPWATCH
     print("stats:", pipe.stats, file=sys.stderr)
     print(STOPWATCH.report(), file=sys.stderr)
 

@@ -58,6 +58,23 @@ class IncrementalMesher:
             vol.dirty_mesh.discard(s)
         return len(dirty)
 
+    # per-dispatch compaction capacities; escalated (recompile) on overflow
+    _vert_cap = 1 << 18
+    _tri_cap = 1 << 19
+
+    @staticmethod
+    def _fetch_prefix(arr: jnp.ndarray, n: int) -> np.ndarray:
+        """Fetch arr[:n] with bucketed static slice sizes (the link is
+        ~35 MB/s — transfer bytes, not padded capacity)."""
+        if n <= 0:
+            return np.zeros((0,) + arr.shape[1:],
+                            np.dtype(str(arr.dtype)))
+        b = 1024
+        while b < n:
+            b *= 2
+        b = min(b, arr.shape[0])
+        return np.asarray(arr[:b])[:n]
+
     def _remesh(self, slots: np.ndarray) -> None:
         vol = self.volume
         nbr = self._neighbor_slots(slots)
@@ -73,32 +90,42 @@ class IncrementalMesher:
         slots_p = np.concatenate([slots, np.full(pad, trash, np.int64)])
         nbr_p = np.concatenate([nbr, np.full((pad, 8), trash, np.int64)])
         origins_p = np.concatenate([origins, np.zeros((pad, 3), np.float32)])
+        active = jnp.asarray(np.arange(bucket) < n_real)
         mesh = mc.mesh_chunks(
             vol.batch.sdf, vol.batch.weight, vol.batch.color,
             vol.batch.color_count,
             jnp.asarray(slots_p), jnp.asarray(nbr_p), jnp.asarray(origins_p),
             vol.cfg.chunk_size, vol.cfg.voxel_resolution)
-        pos = np.asarray(mesh.positions)
-        nrm = np.asarray(mesh.normals)
-        col = np.asarray(mesh.colors)
-        val = np.asarray(mesh.vert_valid)
-        tris = np.asarray(mesh.triangles)
-        # bulk triangle validity over the whole batch (one pass), then a
-        # light per-chunk remap of only the surviving geometry
-        safe = np.maximum(tris, 0)
-        u_idx = np.arange(tris.shape[0])[:, None, None]
-        tri_ok = (tris >= 0).all(axis=-1) & val[u_idx, safe].all(axis=-1)
+        while True:
+            flat = mc.compact_mesh_device(mesh, active,
+                                          self._vert_cap, self._tri_cap)
+            vcount = np.asarray(flat.vcount)
+            tcount = np.asarray(flat.tcount)
+            tv, tt = int(vcount.sum()), int(tcount.sum())
+            if tv <= self._vert_cap and tt <= self._tri_cap:
+                break
+            # capacity overflow → escalate (rare; recompiles once)
+            while tv > IncrementalMesher._vert_cap:
+                IncrementalMesher._vert_cap *= 2
+            while tt > IncrementalMesher._tri_cap:
+                IncrementalMesher._tri_cap *= 2
+        pos = self._fetch_prefix(flat.positions, tv)
+        nrm = mc.unpack_u32_rgb(self._fetch_prefix(flat.nrm_packed, tv))
+        nrm = (nrm - 127.0) / 127.0
+        col = mc.unpack_u32_rgb(self._fetch_prefix(flat.col_packed, tv)) / 255.0
+        tris = self._fetch_prefix(flat.triangles, tt)
+        voff = np.concatenate([[0], np.cumsum(vcount)]).astype(np.int64)
+        toff = np.concatenate([[0], np.cumsum(tcount)]).astype(np.int64)
         for u, slot in enumerate(slots.tolist()):
-            t = tris[u][tri_ok[u]]
-            if len(t) == 0:
+            nt = int(tcount[u])
+            if nt == 0:
                 self.meshes.pop(slot, None)
                 continue
-            used = np.zeros(val.shape[1], bool)
-            used[t.reshape(-1)] = True
-            remap = np.full(val.shape[1], -1, np.int64)
-            remap[used] = np.arange(used.sum())
-            self.meshes[slot] = (pos[u][used], remap[t].astype(np.int32),
-                                 col[u][used], nrm[u][used])
+            nv = int(vcount[u])
+            self.meshes[slot] = (pos[voff[u]:voff[u] + nv],
+                                 tris[toff[u]:toff[u] + nt].astype(np.int32),
+                                 col[voff[u]:voff[u] + nv],
+                                 nrm[voff[u]:voff[u] + nv])
 
     def drop(self, slots) -> None:
         for s in np.atleast_1d(slots).tolist():
