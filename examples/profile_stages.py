@@ -116,37 +116,43 @@ def main():
     dirty = sorted(vol.dirty_mesh)
     print(f"{'n dirty chunks':>40s}: {len(dirty)}")
 
-    for bucket in (128, 256, 512):
-        if len(dirty) < bucket:
-            part = np.asarray((dirty * ((bucket // len(dirty)) + 1))[:bucket],
-                              np.int64)
-        else:
-            part = np.asarray(dirty[:bucket], np.int64)
-        nbr = mesher._neighbor_slots(part)
-        origins = vol.ids[part].astype(np.float32) * vol.extent
-        sl = jnp.asarray(part)
-        nb = jnp.asarray(nbr)
-        og = jnp.asarray(origins)
-
-        def run_mc():
-            return mc.mesh_chunks(
-                vol.batch.sdf, vol.batch.weight, vol.batch.color,
-                vol.batch.color_count, sl, nb, og,
-                vol.cfg.chunk_size, vol.cfg.voxel_resolution)
-        mesh = timeit(f"mesh_chunks[{bucket}] (device)", run_mc, n=5)
-
-        def fetch():
-            m = run_mc()
-            return (np.asarray(m.positions), np.asarray(m.normals),
-                    np.asarray(m.colors), np.asarray(m.vert_valid),
-                    np.asarray(m.triangles))
-        timeit(f"mesh_chunks[{bucket}] +fetch", fetch, n=3)
-
-    # --- host compaction cost
+    # --- host compaction cost (first call compiles; second is steady state)
     t0 = time.perf_counter()
     mesher.update_meshes()
-    print(f"{'mesher.update_meshes (all dirty)':>40s}: "
+    print(f"{'mesher.update_meshes (compile)':>40s}: "
           f"{(time.perf_counter() - t0) * 1000:8.1f} ms")
+    vol.dirty_mesh = set(dirty)
+    t0 = time.perf_counter()
+    mesher.update_meshes()
+    print(f"{'mesher.update_meshes (steady)':>40s}: "
+          f"{(time.perf_counter() - t0) * 1000:8.1f} ms")
+    nverts = sum(len(m[0]) for m in mesher.meshes.values())
+    ntris = sum(len(m[1]) for m in mesher.meshes.values())
+    print(f"{'total verts / tris':>40s}: {nverts} / {ntris}")
+
+    # --- breakdown of the fused compacted path at bucket 512
+    part = np.asarray(dirty[:512], np.int64)
+    nbr = mesher._neighbor_slots(part)
+    og = jnp.asarray(vol.ids[part].astype(np.float32) * vol.extent)
+    nb = jnp.asarray(nbr)
+    act = jnp.asarray(np.ones(512, bool))
+
+    def fused_mc():
+        return mc.mesh_chunks_compact(
+            vol.batch.sdf, vol.batch.weight, vol.batch.color,
+            vol.batch.color_count, nb, og, act, vol.cfg.chunk_size,
+            vol.cfg.voxel_resolution, mesher._vert_cap, mesher._tri_cap)
+    flat = timeit("  mesh_chunks_compact[512] device", fused_mc, n=5)
+
+    timeit("  counts fetch", lambda: jax.device_get((flat.vcount,
+                                                     flat.tcount)), n=5)
+    vc = np.asarray(flat.vcount)
+    tv = int(vc.sum())
+    tt = int(np.asarray(flat.tcount).sum())
+
+    def prefix_fetch():
+        return mesher._fetch_prefix2(flat.vert_rec, tv, flat.triangles, tt)
+    timeit("  prefix fetches", prefix_fetch, n=5)
 
 
 if __name__ == "__main__":

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,22 +59,29 @@ class IncrementalMesher:
             vol.dirty_mesh.discard(s)
         return len(dirty)
 
-    # per-dispatch compaction capacities; escalated (recompile) on overflow
-    _vert_cap = 1 << 18
-    _tri_cap = 1 << 19
+    # per-dispatch compaction capacities; escalated (recompile) on overflow.
+    # Compaction cost scales with these (searchsorted queries), so they
+    # start near the realistic per-batch surface size, not the worst case.
+    _vert_cap = 1 << 15
+    _tri_cap = 1 << 16
 
     @staticmethod
-    def _fetch_prefix(arr: jnp.ndarray, n: int) -> np.ndarray:
-        """Fetch arr[:n] with bucketed static slice sizes (the link is
-        ~35 MB/s — transfer bytes, not padded capacity)."""
-        if n <= 0:
-            return np.zeros((0,) + arr.shape[1:],
-                            np.dtype(str(arr.dtype)))
+    def _bucket(n: int, cap: int) -> int:
         b = 1024
         while b < n:
             b *= 2
-        b = min(b, arr.shape[0])
-        return np.asarray(arr[:b])[:n]
+        return min(b, cap)
+
+    @classmethod
+    def _fetch_prefix2(cls, a: jnp.ndarray, na: int, b: jnp.ndarray, nb: int
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        """Fetch a[:na], b[:nb] in ONE parallel device_get with bucketed
+        static slice sizes (the link is ~35 MB/s and each roundtrip costs
+        ~20 ms — transfer bytes, not padded capacity, and batch fetches)."""
+        ba = cls._bucket(max(na, 1), a.shape[0])
+        bb = cls._bucket(max(nb, 1), b.shape[0])
+        av, bv = jax.device_get((a[:ba], b[:bb]))
+        return av[:na], bv[:nb]
 
     def _remesh(self, slots: np.ndarray) -> None:
         vol = self.volume
@@ -87,20 +95,18 @@ class IncrementalMesher:
             bucket *= 2
         pad = bucket - n_real
         trash = vol.cfg.capacity
-        slots_p = np.concatenate([slots, np.full(pad, trash, np.int64)])
         nbr_p = np.concatenate([nbr, np.full((pad, 8), trash, np.int64)])
         origins_p = np.concatenate([origins, np.zeros((pad, 3), np.float32)])
         active = jnp.asarray(np.arange(bucket) < n_real)
-        mesh = mc.mesh_chunks(
-            vol.batch.sdf, vol.batch.weight, vol.batch.color,
-            vol.batch.color_count,
-            jnp.asarray(slots_p), jnp.asarray(nbr_p), jnp.asarray(origins_p),
-            vol.cfg.chunk_size, vol.cfg.voxel_resolution)
+        nbr_j = jnp.asarray(nbr_p)
+        origins_j = jnp.asarray(origins_p)
         while True:
-            flat = mc.compact_mesh_device(mesh, active,
-                                          self._vert_cap, self._tri_cap)
-            vcount = np.asarray(flat.vcount)
-            tcount = np.asarray(flat.tcount)
+            flat = mc.mesh_chunks_compact(
+                vol.batch.sdf, vol.batch.weight, vol.batch.color,
+                vol.batch.color_count, nbr_j, origins_j, active,
+                vol.cfg.chunk_size, vol.cfg.voxel_resolution,
+                self._vert_cap, self._tri_cap)
+            vcount, tcount = jax.device_get((flat.vcount, flat.tcount))
             tv, tt = int(vcount.sum()), int(tcount.sum())
             if tv <= self._vert_cap and tt <= self._tri_cap:
                 break
@@ -109,11 +115,9 @@ class IncrementalMesher:
                 IncrementalMesher._vert_cap *= 2
             while tt > IncrementalMesher._tri_cap:
                 IncrementalMesher._tri_cap *= 2
-        pos = self._fetch_prefix(flat.positions, tv)
-        nrm = mc.unpack_u32_rgb(self._fetch_prefix(flat.nrm_packed, tv))
-        nrm = (nrm - 127.0) / 127.0
-        col = mc.unpack_u32_rgb(self._fetch_prefix(flat.col_packed, tv)) / 255.0
-        tris = self._fetch_prefix(flat.triangles, tt)
+        rec, tris = self._fetch_prefix2(flat.vert_rec, tv,
+                                        flat.triangles, tt)
+        pos, col, nrm = mc.unpack_vert_records(rec)
         voff = np.concatenate([[0], np.cumsum(vcount)]).astype(np.int64)
         toff = np.concatenate([[0], np.cumsum(tcount)]).astype(np.int64)
         for u, slot in enumerate(slots.tolist()):
