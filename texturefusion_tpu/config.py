@@ -138,6 +138,10 @@ class ParallelConfig:
     # overlaps frame-rate tracking — the reference's two-thread pipeline
     # (ref: MobileFusion.cpp:92-112 MapManagement ∥ tracking)
     async_fusion: bool = False
+    # 1-frame software pipeline: dispatch frame N's device step, finalize
+    # frame N-1's decisions while N computes (hides the dispatch→sync
+    # roundtrip; same latency-hiding role as the reference's thread split)
+    pipelined_tracking: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

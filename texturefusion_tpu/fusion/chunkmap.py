@@ -54,10 +54,40 @@ class TSDFVolume:
         self.slot_of: Dict[Tuple[int, int, int], int] = {}  # synced view
         self.ids = np.zeros((cap, 3), np.int32)             # synced view
         self.used = np.zeros(cap, bool)                     # synced view
-        # chunk slot -> {keyframe_id: observation quality}
-        self.observations: Dict[int, Dict[int, float]] = {}
+        # chunk slot -> {keyframe_id: observation quality}; updates are
+        # DEFERRED device fetches (each dispatch+sync costs ~24 ms on a
+        # tunneled backend) — flushed lazily on first read
+        self._observations: Dict[int, Dict[int, float]] = {}
+        self._pending_obs: List[tuple] = []   # (slots, quality_dev, updated_dev, kf_id, sign)
         self.dirty_mesh: Set[int] = set()       # slots needing remesh
         self.chunks_created: int = 0
+
+    @property
+    def observations(self) -> Dict[int, Dict[int, float]]:
+        self.flush_observations()
+        return self._observations
+
+    @observations.setter
+    def observations(self, value: Dict[int, Dict[int, float]]) -> None:
+        self._pending_obs = []
+        self._observations = value
+
+    def flush_observations(self) -> None:
+        """Apply deferred per-chunk observation-quality updates
+        (ONE batched device_get for all pending integrations)."""
+        if not self._pending_obs:
+            return
+        pend, self._pending_obs = self._pending_obs, []
+        fetched = jax.device_get([(q, u) for _, q, u, _, _ in pend])
+        for (slots, _, _, kf_id, sign), (q_np, u_np) in zip(pend, fetched):
+            for s, q, up in zip(slots.tolist(), q_np.tolist(), u_np.tolist()):
+                if not up:
+                    continue
+                obs = self._observations.setdefault(int(s), {})
+                if sign > 0:
+                    obs[kf_id] = float(q)
+                else:
+                    obs.pop(kf_id, None)
 
     @property
     def free(self) -> List[int]:
@@ -196,19 +226,13 @@ class TSDFVolume:
                 quality_map, cam_to_world, jnp.float32(sign), self.intr,
                 self.cfg, with_color=with_color)
 
-            updated_np = np.asarray(updated)
             if with_color and keyframe_id is not None:
-                quality_np = np.asarray(quality)
-                for s, q, up in zip(chunk_slots.tolist(), quality_np.tolist(),
-                                    updated_np.tolist()):
-                    if not up:
-                        continue
-                    obs = self.observations.setdefault(int(s), {})
-                    if sign > 0:
-                        obs[keyframe_id] = float(q)
-                    else:
-                        obs.pop(keyframe_id, None)
-            self._mark_dirty(chunk_slots[updated_np[:len(chunk_slots)]])
+                self._pending_obs.append(
+                    (chunk_slots, quality, updated, keyframe_id, sign))
+            # dirty superset: every touched slot (fetching the exact
+            # `updated` mask would cost a sync; the superset only adds
+            # already-meshed empty chunks, which emit nothing)
+            self._mark_dirty(chunk_slots)
         return all_slots
 
     def integrate_local_depths(self, depths: List[jnp.ndarray],

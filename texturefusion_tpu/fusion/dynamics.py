@@ -13,22 +13,48 @@ from __future__ import annotations
 
 from typing import List
 
-import jax.numpy as jnp
 import numpy as np
-
-from texturefusion_tpu.core import se3
 
 DRIFT_THRESHOLD = 1e-4   # ref: MapMaintain.hpp threshold on window cost
 
 
 def pose_drift_costs(current: np.ndarray, integrated: np.ndarray) -> np.ndarray:
     """Weighted SE3 delta cost per keyframe [K]
-    (ref: GetPoseDifference MapMaintain.hpp:239-258)."""
+    (ref: GetPoseDifference MapMaintain.hpp:239-258).
+
+    Pure numpy: K is tiny and this runs every fusion cycle — a device
+    dispatch+sync costs ~24 ms on a tunneled backend, the host math ~µs.
+    """
     if len(current) == 0:
         return np.zeros(0, np.float32)
-    d = se3.pose_distance(jnp.asarray(current), jnp.asarray(integrated),
-                          rot_weight=2.0, trans_weight=1.0)
-    return np.asarray(d)
+    a = np.asarray(current, np.float64)
+    b = np.asarray(integrated, np.float64)
+    ra = a[:, :3, :3]
+    rel_r = np.einsum("kji,kjl->kil", ra, b[:, :3, :3])      # raᵀ·rb
+    rel_t = np.einsum("kji,kj->ki", ra, b[:, :3, 3] - a[:, :3, 3])
+    tr = np.clip((np.trace(rel_r, axis1=1, axis2=2) - 1.0) / 2.0, -1.0, 1.0)
+    theta = np.arccos(tr)
+    w = np.stack([rel_r[:, 2, 1] - rel_r[:, 1, 2],
+                  rel_r[:, 0, 2] - rel_r[:, 2, 0],
+                  rel_r[:, 1, 0] - rel_r[:, 0, 1]], axis=-1)
+    s = 2.0 * np.sin(theta)
+    scale = np.where(theta > 1e-8, theta / np.maximum(s, 1e-12), 0.5)
+    omega = w * scale[:, None]
+    # rho = V⁻¹·t  (V = SO3 left Jacobian)
+    k = np.zeros((len(a), 3, 3))
+    k[:, 0, 1], k[:, 0, 2], k[:, 1, 2] = -omega[:, 2], omega[:, 1], -omega[:, 0]
+    k[:, 1, 0], k[:, 2, 0], k[:, 2, 1] = omega[:, 2], -omega[:, 1], omega[:, 0]
+    th2 = theta * theta
+    coef = np.where(theta > 1e-6,
+                    (1.0 - theta * np.sin(theta)
+                     / np.maximum(2.0 * (1.0 - np.cos(theta)), 1e-12))
+                    / np.maximum(th2, 1e-12),
+                    1.0 / 12.0)
+    v_inv = (np.eye(3)[None] - 0.5 * k
+             + coef[:, None, None] * np.matmul(k, k))
+    rho = np.einsum("kij,kj->ki", v_inv, rel_t)
+    return (1.0 * np.sum(rho ** 2, axis=-1)
+            + 2.0 * np.sum(omega ** 2, axis=-1)).astype(np.float32)
 
 
 def select_keyframes_to_update(costs: np.ndarray, max_updates: int = 4,

@@ -70,6 +70,8 @@ class ReconstructionPipeline:
         self.mesher = IncrementalMesher(self.volume)
         self.kf_states: Dict[int, KeyframeFusionState] = {}
         self._last_seen_kf = -1
+        self._inflight: Optional[dict] = None   # pipelined pending frame
+        self._dispatch_count = 0
         self.stats = {"frames": 0, "keyframes": 0, "reintegrations": 0}
         # optional fusion worker thread (ref: the map thread,
         # MobileFusion.cpp:99-112) — fusion cycles run off the tracking
@@ -110,7 +112,31 @@ class ReconstructionPipeline:
         Fastest input: a single packed [H, W, 5] uint8 frame
         (preprocess.pack_frame) as depth_raw with rgb=None — one
         host→device transfer per frame. Separate float/u16/u8 depth + rgb
-        arrays also accepted."""
+        arrays also accepted.
+
+        Tracking is 1-frame software-pipelined (unless
+        parallel.pipelined_tracking is off): this call dispatches frame
+        N's device step, then finalizes frame N-1's decisions while N
+        computes — the ~24 ms dispatch→sync roundtrip and fusion-queue
+        contention hide behind the next frame's device work. (The
+        reference hides the same latency with its tracking∥map threads,
+        MobileFusion.cpp:92-112.)"""
+        pending = self._dispatch_frame(depth_raw, rgb, timestamp)
+        if self.config.parallel.pipelined_tracking:
+            prev, self._inflight = self._inflight, pending
+            if prev is not None:
+                self._finalize_frame(prev)
+        else:
+            self._finalize_frame(pending)
+
+    def flush_tracking(self) -> None:
+        """Finalize the in-flight pipelined frame, if any."""
+        if self._inflight is not None:
+            prev, self._inflight = self._inflight, None
+            self._finalize_frame(prev)
+
+    def _dispatch_frame(self, depth_raw, rgb, timestamp: float) -> dict:
+        """Launch one frame's device step; NO host sync."""
         intr = self.intr
         kp = res = None
         fused_kf = None
@@ -136,14 +162,28 @@ class ReconstructionPipeline:
                 bundle, kp, res, f_depth, f_weight = frame_step_tracked(
                     depth_raw, rgb, kp_ref, kf_depth, kf_weight,
                     self.slam.base_key,
-                    np.int32(len(self.slam.frames)), intr,
+                    np.int32(self._dispatch_count), intr,
                     self.config.tracking, self.config.camera.depth_scale)
                 fused_kf = (f_depth, f_weight)
+                try:
+                    res.stats.copy_to_host_async()
+                except Exception:
+                    pass
             else:
                 bundle = preprocess.preprocess_bundle(
                     depth_raw, rgb, intr,
                     depth_scale=self.config.camera.depth_scale)
-            depth_refined, normals, quality, gray, _blur, rgb = bundle
+        self._dispatch_count += 1
+        return {"bundle": bundle, "kp": kp, "res": res, "fused_kf": fused_kf,
+                "kf_slot": last_kf.slot if last_kf is not None else None,
+                "timestamp": timestamp}
+
+    def _finalize_frame(self, p: dict) -> None:
+        """Consume one dispatched frame's results: SLAM decisions,
+        keyframe promotion, local-frame bookkeeping, fusion submission."""
+        intr = self.intr
+        depth_refined, normals, quality, gray, _blur, rgb = p["bundle"]
+        kp, res, fused_kf = p["kp"], p["res"], p["fused_kf"]
 
         # blur gate blocks keyframe promotion (ref: BasicAPI.cpp:1256-1266,
         # GCSLAM.cpp:315); threshold ≤ 0 disables (synthetic scenes score
@@ -156,8 +196,10 @@ class ReconstructionPipeline:
             blurred = False
 
         with STOPWATCH.time("tracking"):
-            frame = self.slam.update_frame(gray, depth_refined, timestamp,
-                                           blurred=blurred, kp=kp, res=res)
+            frame = self.slam.update_frame(gray, depth_refined,
+                                           p["timestamp"],
+                                           blurred=blurred, kp=kp, res=res,
+                                           res_kf_slot=p["kf_slot"])
         self.stats["frames"] += 1
 
         if frame.is_keyframe:
@@ -190,7 +232,8 @@ class ReconstructionPipeline:
                     # BasicAPI.cpp:506-635) — zero extra dispatches
                     with STOPWATCH.time("kf_refine"):
                         if fused_kf is not None \
-                                and st.kf_slot == last_kf.slot:
+                                and st.kf_slot == p["kf_slot"] \
+                                and frame.keyframe_slot == p["kf_slot"]:
                             st.depth, st.depth_weight = fused_kf
                         else:
                             if st.depth_weight is None:
@@ -208,6 +251,7 @@ class ReconstructionPipeline:
     def finish(self) -> None:
         """Flush: fuse remaining keyframes and run final re-integration
         at optimized poses (ref: main.cpp:213-317 finalization)."""
+        self.flush_tracking()
         self._drain_fusion()
         self.slam.final_ba()
         for slot in range(len(self.slam.keyframes)):

@@ -345,14 +345,19 @@ class GCSLAM:
 
     def update_frame(self, gray: jnp.ndarray, depth: jnp.ndarray,
                      timestamp: float = 0.0,
-                     blurred=False, kp=None, res=None) -> FrameRecord:
+                     blurred=False, kp=None, res=None,
+                     res_kf_slot: Optional[int] = None) -> FrameRecord:
         """Track one frame (ref: GCSLAM.cpp:256-356 update_frame).
         `blurred` may be a bool or a zero-arg callable evaluated lazily
         (only at keyframe-promotion time, avoiding a per-frame device
         sync for the blur score). `kp`/`res` accept precomputed feature
         extraction + registration-vs-last-keyframe results (the pipeline
         fuses them into one dispatch, models.reconstruction
-        track_frame_fused)."""
+        track_frame_fused). `res_kf_slot` states which keyframe `res`
+        was computed against; if a NEWER keyframe exists by now (the
+        pipelined tracker dispatches one frame ahead of decisions), the
+        relative pose is re-anchored by host-side composition instead of
+        a re-registration dispatch."""
         frame = FrameRecord(index=len(self.frames), timestamp=timestamp,
                             blurred=False)
         self.frames.append(frame)
@@ -368,19 +373,27 @@ class GCSLAM:
             return frame
 
         last_kf = self.last_keyframe
+        stale_ref = (res is not None and res_kf_slot is not None
+                     and res_kf_slot != last_kf.slot)
+        if stale_ref:
+            return self._update_frame_stale(frame, kp, res, res_kf_slot,
+                                            last_kf)
         kp_ref = self.frames[last_kf.frame_index].keypoints
         if res is None:
             res = register_frames(kp_ref, kp, self._split_key(),
                                   self.cfg, self.intr)
         # one fetch for all decision scalars (minimizes link roundtrips)
-        stats = np.asarray(res.stats)
+        from texturefusion_tpu.utils.stopwatch import STOPWATCH
+        with STOPWATCH.time("t_stats_sync"):
+            stats = np.asarray(res.stats)
         success = bool(stats[0] > 0.5)
         if not success:
             # borderline RANSAC draws are seed-dependent: one cheap retry
             # with a fresh key before declaring a tracking failure
-            res = register_frames(kp_ref, kp, self._split_key(),
-                                  self.cfg, self.intr)
-            stats = np.asarray(res.stats)
+            with STOPWATCH.time("t_retry"):
+                res = register_frames(kp_ref, kp, self._split_key(),
+                                      self.cfg, self.intr)
+                stats = np.asarray(res.stats)
             success = bool(stats[0] > 0.5)
 
         # frame-to-frame fallback: when the keyframe baseline got too wide
@@ -454,9 +467,10 @@ class GCSLAM:
             return frame
 
         if promote:
-            self._update_keyframe(frame, kp, res if success else None,
-                                  fallback_pose=chained_pose,
-                                  tracked_stats=stats if success else None)
+            with STOPWATCH.time("t_promote"):
+                self._update_keyframe(frame, kp, res if success else None,
+                                      fallback_pose=chained_pose,
+                                      tracked_stats=stats if success else None)
             self._store_icp_reference(depth)
             self._prev_kp = kp
             return frame
@@ -477,6 +491,42 @@ class GCSLAM:
         if chained_pose is not None:
             frame.tracking_success = True
         frame.origin_index = last_kf.origin_index
+        self._prev_kp = kp
+        return frame
+
+    def _update_frame_stale(self, frame: FrameRecord, kp,
+                            res, res_kf_slot: int,
+                            last_kf: KeyframeRecord) -> FrameRecord:
+        """Finalize a frame whose registration ran against a keyframe
+        that has since been superseded (1-frame pipelined tracking).
+        The pose re-anchors by composition p_new_kf⁻¹ · p_old_kf · rel;
+        promotion gates are skipped for this single frame (its disparity
+        stats are vs the OLD keyframe — the next frame registers against
+        the new one)."""
+        from texturefusion_tpu.utils.stopwatch import STOPWATCH
+        with STOPWATCH.time("t_stats_sync"):
+            stats = np.asarray(res.stats)
+        success = bool(stats[0] > 0.5)
+        frame.keyframe_slot = last_kf.slot
+        frame.origin_index = last_kf.origin_index
+        frame.is_keyframe = False
+        if success:
+            rel_old = stats[5:21].reshape(4, 4)
+            p_world = self.poses[res_kf_slot] @ rel_old
+            rel_new = np.linalg.inv(self.poses[last_kf.slot]) @ p_world
+            frame.tracking_success = True
+            frame.rel_to_keyframe = rel_new.astype(np.float32)
+            last_kf.local_frames.append(frame.index)
+            self.fail_count = 0
+        else:
+            self.fail_count += 1
+            frame.tracking_success = False
+            prev = self.frames[-2] if len(self.frames) > 1 else None
+            if prev is not None and prev.keyframe_slot == last_kf.slot \
+                    and prev.rel_to_keyframe is not None:
+                frame.rel_to_keyframe = prev.rel_to_keyframe.copy()
+            else:
+                frame.rel_to_keyframe = np.eye(4, dtype=np.float32)
         self._prev_kp = kp
         return frame
 

@@ -37,6 +37,10 @@ def _atomic_write(path: str, writer) -> None:
 def save_pipeline(pipe, path: str) -> None:
     """Snapshot a ReconstructionPipeline/TexturedPipeline to `path`
     (.npz + .pkl sidecar)."""
+    if hasattr(pipe, "flush_tracking"):
+        pipe.flush_tracking()       # finalize any in-flight pipelined frame
+    if hasattr(pipe, "_drain_fusion"):
+        pipe._drain_fusion()
     vol = pipe.volume
     slam = pipe.slam
     arrays: Dict[str, np.ndarray] = {
