@@ -164,10 +164,22 @@ class TSDFVolume:
         # Discovery stride scales with resolution: at VGA a stride-2 pixel
         # footprint is far below the chunk extent, so nothing is missed.
         stride = max(1, self.intr.width // 320)
-        ids, n = tsdf_ops.candidate_chunks_unique(
-            depth, cam_to_world, self.intr, self.cfg, stride=stride,
-            max_out=self.cfg.max_update_chunks * 4)
-        n = int(n)
+        max_out = self.cfg.max_update_chunks * 4
+        while True:
+            ids, n = tsdf_ops.candidate_chunks_unique(
+                depth, cam_to_world, self.intr, self.cfg, stride=stride,
+                max_out=max_out)
+            n = int(n)
+            if n < max_out:
+                break
+            # overflow: the unique set filled the static budget and may
+            # have silently dropped surface (ref culling covers the whole
+            # frustum, ChunkManager.h:380-559) — retry with a bigger cap
+            max_out *= 2
+            import warnings
+            warnings.warn(
+                f"discover_chunks: candidate budget hit ({n}); "
+                f"retrying with max_out={max_out}")
         if n == 0:
             return np.zeros((0,), np.int64)
         ids = np.asarray(ids)[:n]

@@ -72,6 +72,7 @@ class ReconstructionPipeline:
         self._last_seen_kf = -1
         self._inflight: Optional[dict] = None   # pipelined pending frame
         self._dispatch_count = 0
+        self._kp_prev = None        # previous frame's keypoints (device)
         self.stats = {"frames": 0, "keyframes": 0, "reintegrations": 0}
         # optional fusion worker thread (ref: the map thread,
         # MobileFusion.cpp:99-112) — fusion cycles run off the tracking
@@ -142,13 +143,17 @@ class ReconstructionPipeline:
         fused_kf = None
         last_kf = self.slam.last_keyframe
         with STOPWATCH.time("preprocess"):
+            res_ff = stats2 = None
             if last_kf is not None:
-                # steady state: preprocessing + features + registration +
+                # steady state: preprocessing + features + registration
+                # against BOTH the last keyframe and the previous frame +
                 # keyframe depth refinement in ONE dispatch
-                # (models.reconstruction.frame_step_tracked)
+                # (models.reconstruction.frame_step_tracked2)
                 from texturefusion_tpu.models.reconstruction import \
-                    frame_step_tracked
+                    frame_step_tracked2
                 kp_ref = self.slam.frames[last_kf.frame_index].keypoints
+                kp_prev = self._kp_prev if self._kp_prev is not None \
+                    else kp_ref
                 st_ref = self.kf_states.get(last_kf.slot)
                 if st_ref is not None and st_ref.depth_weight is None:
                     st_ref.depth_weight = (jnp.asarray(st_ref.depth) > 0
@@ -159,14 +164,16 @@ class ReconstructionPipeline:
                 kf_weight = (st_ref.depth_weight if st_ref is not None
                              else jnp.zeros((intr.height, intr.width),
                                             jnp.float32))
-                bundle, kp, res, f_depth, f_weight = frame_step_tracked(
-                    depth_raw, rgb, kp_ref, kf_depth, kf_weight,
-                    self.slam.base_key,
-                    np.int32(self._dispatch_count), intr,
-                    self.config.tracking, self.config.camera.depth_scale)
+                bundle, kp, res, res_ff, stats2, f_depth, f_weight = \
+                    frame_step_tracked2(
+                        depth_raw, rgb, kp_ref, kp_prev, kf_depth, kf_weight,
+                        self.slam.base_key,
+                        np.int32(self._dispatch_count), intr,
+                        self.config.tracking, self.config.camera.depth_scale)
                 fused_kf = (f_depth, f_weight)
+                self._kp_prev = kp
                 try:
-                    res.stats.copy_to_host_async()
+                    stats2.copy_to_host_async()
                 except Exception:
                     pass
             else:
@@ -174,7 +181,8 @@ class ReconstructionPipeline:
                     depth_raw, rgb, intr,
                     depth_scale=self.config.camera.depth_scale)
         self._dispatch_count += 1
-        return {"bundle": bundle, "kp": kp, "res": res, "fused_kf": fused_kf,
+        return {"bundle": bundle, "kp": kp, "res": res, "res_ff": res_ff,
+                "stats2": stats2, "fused_kf": fused_kf,
                 "kf_slot": last_kf.slot if last_kf is not None else None,
                 "timestamp": timestamp}
 
@@ -195,11 +203,19 @@ class ReconstructionPipeline:
         else:
             blurred = False
 
+        stats = stats_ff = None
+        if p["stats2"] is not None:
+            with STOPWATCH.time("t_stats_sync"):
+                s2 = np.asarray(p["stats2"])
+            stats, stats_ff = s2[0], s2[1]
         with STOPWATCH.time("tracking"):
             frame = self.slam.update_frame(gray, depth_refined,
                                            p["timestamp"],
                                            blurred=blurred, kp=kp, res=res,
-                                           res_kf_slot=p["kf_slot"])
+                                           res_kf_slot=p["kf_slot"],
+                                           stats=stats,
+                                           res_ff=p["res_ff"],
+                                           stats_ff=stats_ff)
         self.stats["frames"] += 1
 
         if frame.is_keyframe:

@@ -111,6 +111,42 @@ def frame_step_tracked(packed_or_depth, rgb, kp_ref, kf_depth, kf_weight,
     return bundle, kp, res, fused, w
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("intr", "tcfg", "depth_scale"))
+def frame_step_tracked2(packed_or_depth, rgb, kp_ref, kp_prev,
+                        kf_depth, kf_weight, base_key, frame_idx,
+                        intr: cam.Intrinsics, tcfg, depth_scale: float):
+    """frame_step_tracked with TWO references in one dispatch: the last
+    keyframe AND the previous frame. When keyframe registration fails
+    (wide baseline near promotion), the frame-to-frame result is already
+    on device — no retry/fallback dispatch (each costs a ~24 ms
+    roundtrip). (ref: the per-frame loop main.cpp:106-135; the reference
+    has no f2f fallback — ours chains through it to survive wide
+    baselines, VERDICT r1 §4 'frame-to-frame fallback chaining'.)
+
+    Returns (bundle, kp, res_kf, res_ff, stats2, fused_depth, fused_w)
+    where stats2 = [2, 21] (row 0 = vs keyframe, row 1 = vs prev frame).
+    """
+    from texturefusion_tpu.slam.features import extract_features
+    from texturefusion_tpu.slam.matching import register_frames
+
+    key = jax.random.fold_in(base_key, frame_idx)
+    k1, k2 = jax.random.split(key)
+    bundle = preprocess.preprocess_bundle(packed_or_depth, rgb, intr,
+                                          depth_scale=depth_scale)
+    depth_refined = bundle[0]
+    kp = extract_features(bundle[3], depth_refined, tcfg, intr)
+    res_kf = register_frames(kp_ref, kp, k1, tcfg, intr)
+    res_ff = register_frames(kp_prev, kp, k2, tcfg, intr)
+    stats2 = jnp.stack([res_kf.stats, res_ff.stats])
+    fused, w = preprocess.fuse_depth_into_keyframe(
+        kf_depth, kf_weight, depth_refined, res_kf.pose, intr)
+    ok = res_kf.success
+    fused = jnp.where(ok, fused, kf_depth)
+    w = jnp.where(ok, w, kf_weight)
+    return bundle, kp, res_kf, res_ff, stats2, fused, w
+
+
 class MultichipState(NamedTuple):
     batch: tsdf_ops.ChunkBatch   # chunk-sharded TSDF rows
     origins: jnp.ndarray         # [S, 3] chunk-sharded

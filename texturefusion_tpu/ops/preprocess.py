@@ -155,6 +155,66 @@ def laplacian_blurriness(gray: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.abs(lap))
 
 
+def _bilinear_depth(depth: jnp.ndarray, uv: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Validity-aware bilinear depth sample at float uv [N, 2]
+    (ref: Patch.cpp:110-170 bilinear_depth). Returns (d, ok)."""
+    h, w = depth.shape
+    x = jnp.clip(uv[..., 0], 0.0, w - 1.001)
+    y = jnp.clip(uv[..., 1], 0.0, h - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    flat = depth.reshape(-1)
+    base = y0 * w + x0
+    d00 = jnp.take(flat, base)
+    d01 = jnp.take(flat, base + 1)
+    d10 = jnp.take(flat, base + w)
+    d11 = jnp.take(flat, base + w + 1)
+    w00 = (1 - fx) * (1 - fy)
+    w01 = fx * (1 - fy)
+    w10 = (1 - fx) * fy
+    w11 = fx * fy
+    ws = (w00 * (d00 > 0) + w01 * (d01 > 0)
+          + w10 * (d10 > 0) + w11 * (d11 > 0))
+    d = (w00 * d00 + w01 * d01 + w10 * d10 + w11 * d11)
+    ok = ws > 0.5    # majority of the bilinear mass on valid samples
+    return jnp.where(ok, d / jnp.maximum(ws, 1e-12), 0.0), ok
+
+
+def _warped_depth_obs(target_depth: jnp.ndarray, source_depth: jnp.ndarray,
+                      rel_source_to_target: jnp.ndarray,
+                      intr: cam.Intrinsics, consistency: float
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """For each TARGET pixel with an estimate: project into the source
+    frame, bilinearly sample its depth, lift the sample back to the
+    target frame. Returns (z_obs [H,W], agree [H,W]).
+
+    Gather formulation of the reference's reproject+bilinear fusion
+    (ref: refineKeyframesSIMD BasicAPI.cpp:506-635) — forward splatting
+    is a scatter, which serializes on TPU; the backward warp is pure
+    gathers."""
+    from texturefusion_tpu.core import se3
+
+    pts_t = cam.backproject_depth_map(intr, target_depth)
+    rel_t_to_s = se3.inverse(rel_source_to_target)
+    pts_s = se3.transform_points(rel_t_to_s, pts_t.reshape(-1, 3))
+    uv, z_exp = cam.project(intr, pts_s)
+    d_s, ok_s = _bilinear_depth(source_depth, uv)
+    valid = ((target_depth.reshape(-1) > 0) & (z_exp > intr.near)
+             & cam.in_image(intr, uv) & ok_s & (d_s > 0))
+    agree = valid & (jnp.abs(d_s - z_exp)
+                     < consistency * jnp.maximum(z_exp, 1e-3))
+    # lift: point along the source ray through uv at sampled depth
+    x_s = cam.unproject(intr, uv[..., 0], uv[..., 1], d_s)
+    x_t = se3.transform_points(rel_source_to_target, x_s)
+    z_obs = x_t[..., 2]
+    shape = target_depth.shape
+    return (jnp.where(agree, z_obs, 0.0).reshape(shape),
+            agree.reshape(shape))
+
+
 def fuse_depth_into_keyframe(kf_depth: jnp.ndarray, kf_weight: jnp.ndarray,
                              new_depth: jnp.ndarray,
                              rel_pose_new_to_kf: jnp.ndarray,
@@ -162,37 +222,39 @@ def fuse_depth_into_keyframe(kf_depth: jnp.ndarray, kf_weight: jnp.ndarray,
                              consistency: float = 0.05) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Running weighted fusion of a tracked frame's depth into its keyframe.
 
-    TPU re-design of refineKeyframesSIMD (ref: BasicAPI.cpp:506-635): the new
-    frame's depth map is backprojected, transformed into the keyframe, and
-    forward-splatted via rounded projection; consistent samples update the
-    keyframe's running (depth, weight) average. Splatting uses scatter-min
-    then weighted accumulation, replacing the reference's serial writes.
-    """
-    pts_new = cam.backproject_depth_map(intr, new_depth)
+    TPU re-design of refineKeyframesSIMD (ref: BasicAPI.cpp:506-635):
+    each keyframe pixel warps into the new frame, bilinearly samples its
+    depth, and — when consistent — updates the keyframe's running
+    (depth, weight) average. Pure-gather backward warp (see
+    _warped_depth_obs)."""
+    z_obs, agree = _warped_depth_obs(kf_depth, new_depth,
+                                     rel_pose_new_to_kf, intr, consistency)
+    den = agree.astype(jnp.float32)
+    fused = ((kf_depth * kf_weight + z_obs)
+             / jnp.maximum(kf_weight + den, 1e-12))
+    have_any = (kf_weight + den) > 0
+    out_d = jnp.where(have_any, fused, 0.0)
+    return out_d, kf_weight + den
+
+
+def refine_new_frame_from_keyframe(new_depth: jnp.ndarray,
+                                   kf_depth: jnp.ndarray,
+                                   rel_pose_new_to_kf: jnp.ndarray,
+                                   intr: cam.Intrinsics,
+                                   consistency: float = 0.05,
+                                   kf_trust: float = 1.0) -> jnp.ndarray:
+    """Refine a tracked frame's depth FROM its keyframe — the reverse
+    direction (ref: refineNewframesSIMD BasicAPI.cpp:378-505, chosen
+    per-frame at main.cpp:124-135): each new-frame pixel warps into the
+    keyframe, samples the accumulated keyframe depth, and blends where
+    consistent."""
     from texturefusion_tpu.core import se3
-
-    pts_kf = se3.transform_points(rel_pose_new_to_kf, pts_new.reshape(-1, 3))
-    uv, z = cam.project(intr, pts_kf)
-    valid = (new_depth.reshape(-1) > 0) & (z > intr.near) & cam.in_image(intr, uv)
-    ui = jnp.clip(jnp.round(uv[..., 0]).astype(jnp.int32), 0, intr.width - 1)
-    vi = jnp.clip(jnp.round(uv[..., 1]).astype(jnp.int32), 0, intr.height - 1)
-    flat_idx = vi * intr.width + ui
-
-    kf_flat = kf_depth.reshape(-1)
-    # consistency: reprojected depth agrees with current keyframe estimate
-    ref_d = kf_flat[flat_idx]
-    agree = valid & ((ref_d <= 0) | (jnp.abs(ref_d - z) < consistency * jnp.maximum(ref_d, 1e-3)))
-    w_new = jnp.where(agree, 1.0, 0.0)
-
-    num = jnp.zeros_like(kf_flat).at[flat_idx].add(w_new * z)
-    den = jnp.zeros_like(kf_flat).at[flat_idx].add(w_new)
-
-    w_old = kf_weight.reshape(-1)
-    fused = (kf_flat * w_old + num) / jnp.maximum(w_old + den, 1e-12)
-    have_any = (w_old + den) > 0
-    out_d = jnp.where(have_any, fused, 0.0).reshape(kf_depth.shape)
-    out_w = (w_old + den).reshape(kf_depth.shape)
-    return out_d, out_w
+    z_obs, agree = _warped_depth_obs(
+        new_depth, kf_depth, se3.inverse(rel_pose_new_to_kf), intr,
+        consistency)
+    den = agree.astype(jnp.float32) * kf_trust
+    fused = (new_depth + z_obs * kf_trust) / jnp.maximum(1.0 + den, 1e-12)
+    return jnp.where(new_depth > 0, jnp.where(agree, fused, new_depth), 0.0)
 
 
 def frame_preprocess(depth_raw: jnp.ndarray, intr: cam.Intrinsics,

@@ -71,7 +71,8 @@ class GCSLAM:
         self.frames: List[FrameRecord] = []
         self.keyframes: List[KeyframeRecord] = []
         max_kf = config.ba.max_keyframes
-        self.poses = np.tile(np.eye(4, dtype=np.float32), (max_kf, 1, 1))
+        self._poses_np = np.tile(np.eye(4, dtype=np.float32), (max_kf, 1, 1))
+        self._poses_pending = None   # (device flat poses, bucket) from BA
         self.edges = fastba.make_edges(config.ba.max_edges)
         self.n_edges = 0
         self.db = loopclosure.KeyframeDescriptorDB(max_keyframes=max_kf)
@@ -93,6 +94,26 @@ class GCSLAM:
     def _split_key(self) -> jax.Array:
         self._key, sub = jax.random.split(self._key)
         return sub
+
+    @property
+    def poses(self) -> np.ndarray:
+        """Keyframe pose array; materializes any pending async BA result
+        (the BA pose fetch is started async at promotion time and only
+        synced on first use — usually a frame later, hiding the ~24 ms
+        roundtrip behind the next frame's device work)."""
+        self._sync_poses()
+        return self._poses_np
+
+    @poses.setter
+    def poses(self, value: np.ndarray) -> None:
+        self._poses_pending = None
+        self._poses_np = value
+
+    def _sync_poses(self) -> None:
+        if self._poses_pending is not None:
+            dev, bucket = self._poses_pending
+            self._poses_pending = None
+            self._poses_np[:bucket] = np.asarray(dev).reshape(bucket, 4, 4)
 
     @property
     def last_keyframe(self) -> Optional[KeyframeRecord]:
@@ -185,11 +206,16 @@ class GCSLAM:
             new_poses, edges, errs = fastba.optimize(
                 poses, edges, bucket, active, self.config.ba)
         # keep errors device-resident (fetch only when read, e.g. tests);
-        # fetch poses as ONE flattened 1D transfer (2D/3D fetches are
-        # pathologically slow the first time on the tunneled backend)
+        # poses: start an ASYNC flat fetch and adopt lazily on next read
+        # (1D transfer; 2D/3D fetches relayout pathologically on the
+        # tunneled backend)
         self.last_ba_errors = list(errs)
-        self.poses[:bucket] = np.asarray(
-            new_poses.reshape(-1)).reshape(bucket, 4, 4)
+        flat = new_poses.reshape(-1)
+        try:
+            flat.copy_to_host_async()
+        except Exception:
+            pass
+        self._poses_pending = (flat, bucket)
         # write back pruned-edge validity
         self.edges = self.edges._replace(
             valid=self.edges.valid.at[:e_bucket].set(edges.valid))
@@ -346,7 +372,10 @@ class GCSLAM:
     def update_frame(self, gray: jnp.ndarray, depth: jnp.ndarray,
                      timestamp: float = 0.0,
                      blurred=False, kp=None, res=None,
-                     res_kf_slot: Optional[int] = None) -> FrameRecord:
+                     res_kf_slot: Optional[int] = None,
+                     stats: Optional[np.ndarray] = None,
+                     res_ff=None,
+                     stats_ff: Optional[np.ndarray] = None) -> FrameRecord:
         """Track one frame (ref: GCSLAM.cpp:256-356 update_frame).
         `blurred` may be a bool or a zero-arg callable evaluated lazily
         (only at keyframe-promotion time, avoiding a per-frame device
@@ -377,19 +406,21 @@ class GCSLAM:
                      and res_kf_slot != last_kf.slot)
         if stale_ref:
             return self._update_frame_stale(frame, kp, res, res_kf_slot,
-                                            last_kf)
+                                            last_kf, stats=stats)
         kp_ref = self.frames[last_kf.frame_index].keypoints
         if res is None:
             res = register_frames(kp_ref, kp, self._split_key(),
                                   self.cfg, self.intr)
         # one fetch for all decision scalars (minimizes link roundtrips)
         from texturefusion_tpu.utils.stopwatch import STOPWATCH
-        with STOPWATCH.time("t_stats_sync"):
-            stats = np.asarray(res.stats)
+        if stats is None:
+            with STOPWATCH.time("t_stats_sync"):
+                stats = np.asarray(res.stats)
         success = bool(stats[0] > 0.5)
-        if not success:
+        if not success and stats_ff is None:
             # borderline RANSAC draws are seed-dependent: one cheap retry
-            # with a fresh key before declaring a tracking failure
+            # with a fresh key before declaring a tracking failure (only
+            # when no same-dispatch f2f result exists to fall back on)
             with STOPWATCH.time("t_retry"):
                 res = register_frames(kp_ref, kp, self._split_key(),
                                       self.cfg, self.intr)
@@ -399,13 +430,18 @@ class GCSLAM:
         # frame-to-frame fallback: when the keyframe baseline got too wide
         # for direct registration, chain through the previous frame (high
         # overlap). Keyframe-overlap loss still counts toward promotion.
+        # The pipelined step registers both pairs in ONE dispatch
+        # (frame_step_tracked2) — stats_ff arrives prefetched; the
+        # dispatching path below serves non-pipelined callers.
         chained_pose = None
         if not success and self._prev_kp is not None and len(self.frames) > 1:
             prev = self.frames[-2]
             if prev.keyframe_slot == last_kf.slot and prev.rel_to_keyframe is not None:
-                res_ff = register_frames(self._prev_kp, kp, self._split_key(),
-                                         self.cfg, self.intr)
-                stats_ff = np.asarray(res_ff.stats)
+                if stats_ff is None:
+                    res_ff = register_frames(self._prev_kp, kp,
+                                             self._split_key(),
+                                             self.cfg, self.intr)
+                    stats_ff = np.asarray(res_ff.stats)
                 if stats_ff[0] > 0.5:
                     rel = prev.rel_to_keyframe @ stats_ff[5:21].reshape(4, 4)
                     chained_pose = self.poses[last_kf.slot] @ rel
@@ -496,7 +532,9 @@ class GCSLAM:
 
     def _update_frame_stale(self, frame: FrameRecord, kp,
                             res, res_kf_slot: int,
-                            last_kf: KeyframeRecord) -> FrameRecord:
+                            last_kf: KeyframeRecord,
+                            stats: Optional[np.ndarray] = None
+                            ) -> FrameRecord:
         """Finalize a frame whose registration ran against a keyframe
         that has since been superseded (1-frame pipelined tracking).
         The pose re-anchors by composition p_new_kf⁻¹ · p_old_kf · rel;
@@ -504,8 +542,9 @@ class GCSLAM:
         stats are vs the OLD keyframe — the next frame registers against
         the new one)."""
         from texturefusion_tpu.utils.stopwatch import STOPWATCH
-        with STOPWATCH.time("t_stats_sync"):
-            stats = np.asarray(res.stats)
+        if stats is None:
+            with STOPWATCH.time("t_stats_sync"):
+                stats = np.asarray(res.stats)
         success = bool(stats[0] > 0.5)
         frame.keyframe_slot = last_kf.slot
         frame.origin_index = last_kf.origin_index
