@@ -130,6 +130,8 @@ def frame_step_tracked2(packed_or_depth, rgb, kp_ref, kp_prev,
     from texturefusion_tpu.slam.features import extract_features
     from texturefusion_tpu.slam.matching import register_frames
 
+    import dataclasses
+
     key = jax.random.fold_in(base_key, frame_idx)
     k1, k2 = jax.random.split(key)
     bundle = preprocess.preprocess_bundle(packed_or_depth, rgb, intr,
@@ -137,7 +139,13 @@ def frame_step_tracked2(packed_or_depth, rgb, kp_ref, kp_prev,
     depth_refined = bundle[0]
     kp = extract_features(bundle[3], depth_refined, tcfg, intr)
     res_kf = register_frames(kp_ref, kp, k1, tcfg, intr)
-    res_ff = register_frames(kp_prev, kp, k2, tcfg, intr)
+    # the f2f fallback sees a tiny baseline (consecutive frames): a light
+    # config (¼ hypotheses, no fine search) is ample and halves its cost
+    tcfg_lite = dataclasses.replace(tcfg,
+                                    ransac_iterations=max(
+                                        tcfg.ransac_iterations // 4, 64),
+                                    use_fine_search=False)
+    res_ff = register_frames(kp_prev, kp, k2, tcfg_lite, intr)
     stats2 = jnp.stack([res_kf.stats, res_ff.stats])
     fused, w = preprocess.fuse_depth_into_keyframe(
         kf_depth, kf_weight, depth_refined, res_kf.pose, intr)

@@ -208,7 +208,10 @@ def extract_features(gray: jnp.ndarray, depth: jnp.ndarray,
         if lvl > 0:
             nh = max(int(round(h0 * inv_scale ** lvl)), 32)
             nw = max(int(round(w0 * inv_scale ** lvl)), 32)
-            img = jax.image.resize(gray, (nh, nw), "linear")
+            # resize recursively from the previous level (like
+            # ORB-SLAM's pyramid, ref: ORBextractor ComputePyramid) —
+            # geometric input sizes instead of 7 full-image resizes
+            img = jax.image.resize(img, (nh, nw), "linear")
             scale = w0 / nw
         score = _nms(fast_score(img, cfg.fast_threshold))
         # kill border responses (descriptor patch must fit)

@@ -76,6 +76,11 @@ class GCSLAM:
         self.edges = fastba.make_edges(config.ba.max_edges)
         self.n_edges = 0
         self.db = loopclosure.KeyframeDescriptorDB(max_keyframes=max_kf)
+        # device-side stacked keypoints + DB-row→slot map for the
+        # single-dispatch promotion probe (slam/promote.py)
+        from texturefusion_tpu.slam.promote import KeypointDB
+        self.kp_db = KeypointDB(max_kf, config.tracking.max_features_pad)
+        self._row_to_slot = jnp.full(max_kf, -1, jnp.int32)
         self.fail_count = 0
         self.origin_count = 1
         self._key = jax.random.PRNGKey(42)
@@ -233,6 +238,7 @@ class GCSLAM:
         frame.keyframe_slot = slot
         frame.rel_to_keyframe = np.eye(4, dtype=np.float32)
         frame.keypoints = kp
+        self.kp_db.add(slot, kp)
         return kf
 
     def _update_keyframe(self, frame: FrameRecord, kp: Keypoints,
@@ -240,11 +246,139 @@ class GCSLAM:
                          fallback_pose: Optional[np.ndarray] = None,
                          tracked_stats: Optional[np.ndarray] = None) -> None:
         """New-keyframe path: loop-closure candidates + registrations +
-        edge insertion + FastBA (ref: GCSLAM.cpp:52-185 update_keyframe)."""
+        edge insertion + FastBA (ref: GCSLAM.cpp:52-185 update_keyframe).
+
+        Steady state runs the SINGLE-DISPATCH promotion probe
+        (slam/promote.py): similarity + salient selection + vmapped
+        registration + edge pre-integration in one program with one
+        small fetch. The multi-origin case (rare) takes the legacy
+        multi-dispatch path, which can probe arbitrary extra slots."""
+        last_slot = self.last_keyframe.slot
+        if self.origin_count == 1 and len(self.db) > 0:
+            results = self._probe_candidates(kp, tracked_stats)
+        else:
+            results = self._legacy_candidates(kp, tracked, tracked_stats,
+                                              last_slot)
+
+        if not results:
+            if fallback_pose is not None:
+                # no direct keyframe registration, but frame-to-frame
+                # chaining kept a valid pose: promote in the SAME origin
+                # with an odometry-prior edge for BA
+                frame.origin_index = self.keyframes[last_slot].origin_index
+                frame.tracking_success = True
+                kf = self._promote_keyframe(frame, kp,
+                                            fallback_pose.astype(np.float32))
+                rel = np.linalg.inv(self.poses[last_slot]) @ fallback_pose
+                self._add_virtual_edge(last_slot, kf.slot, rel)
+                self._db_add(kf.slot, kp)
+                self._run_ba()
+                self.fail_count = 0
+                return
+            # registration failed everywhere → new map origin
+            # (ref: GCSLAM.cpp:149-161)
+            self.origin_count += 1
+            frame.origin_index = self.origin_count - 1
+            frame.tracking_success = False
+            pose = self.poses[last_slot]  # continue from last pose
+            kf = self._promote_keyframe(frame, kp, pose)
+            self.fail_count = 0
+            return
+
+        # pose from the minimum-disparity successful match, preferring the
+        # OLDEST origin so merges always re-anchor younger maps onto older
+        # ones (ref: GCSLAM.cpp:124-147 best match; :187-254 origin merge)
+        oldest = min(r[0].origin_index for r in results)
+        candidates_oldest = [r for r in results if r[0].origin_index == oldest]
+        best = min(candidates_oldest, key=lambda r: float(r[1][3]))
+        kf_best = best[0]
+        pose_world = self.poses[kf_best.slot] @ best[1][5:21].reshape(4, 4)
+        frame.origin_index = kf_best.origin_index
+        frame.tracking_success = True
+        kf = self._promote_keyframe(frame, kp, pose_world.astype(np.float32))
+
+        for kf_c, _stats, sums in results:
+            if self.n_edges < self.config.ba.max_edges:
+                self.edges = fastba.append_edge(
+                    self.edges, jnp.int32(self.n_edges), kf_c.slot, kf.slot,
+                    *sums)
+                self.n_edges += 1
+        kf.reg_success_count = len(results)
+
+        # map-origin merging (ref: GCSLAM.cpp:187-254 updateMapOrigin):
+        # a keyframe registering to keyframes from several origins aligns
+        # those origins — re-anchor the younger origin onto the adopted one
+        adopted = kf.origin_index
+        pose_new = self.poses[kf.slot]
+        for kf_c, _stats, _sums in results:
+            o = kf_c.origin_index
+            if o == adopted:
+                continue
+            pose_new_in_o = (self.keyframe_pose(kf_c.slot)
+                             @ _stats[5:21].reshape(4, 4))
+            t_align = (pose_new @ np.linalg.inv(pose_new_in_o)).astype(np.float32)
+            for other in self.keyframes:
+                if other.origin_index == o:
+                    self.poses[other.slot] = t_align @ self.poses[other.slot]
+                    other.origin_index = adopted
+                    self.frames[other.frame_index].origin_index = adopted
+            for f in self.frames:
+                if f.origin_index == o:
+                    f.origin_index = adopted
+
+        # descriptor DB insertion gated on match count
+        # (ref: GCSLAM.cpp:171-177 — skip if ≥4 successful matches)
+        if len(results) < 4:
+            self._db_add(kf.slot, kp)
+
+        self._run_ba()
+        self.fail_count = 0
+
+    def _db_add(self, slot: int, kp: Keypoints) -> None:
+        row = len(self.db)
+        self.db.add(slot, kp.desc, kp.valid)
+        if len(self.db) > row:    # actually inserted (capacity not hit)
+            self._row_to_slot = self._row_to_slot.at[row].set(slot)
+
+    def _probe_candidates(self, kp: Keypoints,
+                          tracked_stats: Optional[np.ndarray]):
+        """Single-dispatch candidate selection + registration + edge
+        pre-integration (slam/promote.py). Returns
+        [(KeyframeRecord, stats[21] np, sums device-tuple)]."""
+        from texturefusion_tpu.slam import promote
+        n_cand = max(self.cfg.max_candidates, 2)
+        have_tracked = tracked_stats is not None
+        ts = (jnp.asarray(tracked_stats.astype(np.float32))
+              if have_tracked else jnp.zeros(21, jnp.float32))
+        probe = promote.promote_probe(
+            self.kp_db.kp, self.db.desc, self.db.valid, self._row_to_slot,
+            jnp.int32(len(self.db)), jnp.int32(self.last_keyframe.slot),
+            kp, ts, jnp.asarray(have_tracked), self._split_key(),
+            self.cfg.salient_score_threshold, self.config.ba.huber_delta,
+            self.cfg, self.intr, n_cand)
+        fetched = np.asarray(probe.fetch).reshape(n_cand, 23)
+        results = []
+        seen = set()
+        for i in range(n_cand):
+            slot = int(fetched[i, 0])
+            if fetched[i, 1] < 0.5 or slot in seen:
+                continue
+            seen.add(slot)
+            sums = tuple(jax.tree.map(lambda a, i=i: a[i],
+                                      (probe.s_w, probe.s_p, probe.s_q,
+                                       probe.s_pp, probe.s_qq, probe.s_pq)))
+            results.append((self.keyframes[slot], fetched[i, 2:23], sums))
+        return results
+
+    def _legacy_candidates(self, kp: Keypoints,
+                           tracked: Optional[TwoViewResult],
+                           tracked_stats: Optional[np.ndarray],
+                           last_slot: int):
+        """Multi-dispatch candidate path (multi-origin probing or empty
+        DB). Same result format as _probe_candidates."""
         sims = self.db.similarity(kp.desc, kp.valid)
         rows = loopclosure.select_candidates(
             sims, self.cfg.salient_score_threshold, self.cfg.max_candidates)
-        last_slot = self.last_keyframe.slot
         # DB rows → keyframe slots; previous keyframe always considered
         cand_slots = [last_slot]
         for r in rows:
@@ -268,10 +402,14 @@ class GCSLAM:
         for slot in cand_slots:
             kf_c = self.keyframes[slot]
             if kf_c.slot == last_slot and tracked is not None:
-                results.append((kf_c, tracked,
-                                self.frames[kf_c.frame_index].keypoints,
-                                tracked_stats if tracked_stats is not None
-                                else np.asarray(tracked.stats)))
+                st = (tracked_stats if tracked_stats is not None
+                      else np.asarray(tracked.stats))
+                kp_ref = self.frames[kf_c.frame_index].keypoints
+                sums = fastba.preintegrate_from_registration(
+                    kp_ref.points3d[tracked.match_idx], kp.points3d,
+                    tracked.inliers.astype(jnp.float32), tracked.pose,
+                    jnp.float32(self.config.ba.huber_delta))
+                results.append((kf_c, st, sums))
                 continue
             to_register.append(slot)
         if to_register:
@@ -294,78 +432,12 @@ class GCSLAM:
                     res_i = jax.tree.map(lambda a, i=i: a[i], bres)
                     kp_ref_i = self.frames[
                         self.keyframes[slot].frame_index].keypoints
-                    results.append((self.keyframes[slot], res_i,
-                                    kp_ref_i, stats_all[i]))
-
-        if not results:
-            if fallback_pose is not None:
-                # no direct keyframe registration, but frame-to-frame
-                # chaining kept a valid pose: promote in the SAME origin
-                # with an odometry-prior edge for BA
-                frame.origin_index = self.keyframes[last_slot].origin_index
-                frame.tracking_success = True
-                kf = self._promote_keyframe(frame, kp,
-                                            fallback_pose.astype(np.float32))
-                rel = np.linalg.inv(self.poses[last_slot]) @ fallback_pose
-                self._add_virtual_edge(last_slot, kf.slot, rel)
-                self.db.add(kf.slot, kp.desc, kp.valid)
-                self._run_ba()
-                self.fail_count = 0
-                return
-            # registration failed everywhere → new map origin
-            # (ref: GCSLAM.cpp:149-161)
-            self.origin_count += 1
-            frame.origin_index = self.origin_count - 1
-            frame.tracking_success = False
-            pose = self.poses[last_slot]  # continue from last pose
-            kf = self._promote_keyframe(frame, kp, pose)
-            self.fail_count = 0
-            return
-
-        # pose from the minimum-disparity successful match, preferring the
-        # OLDEST origin so merges always re-anchor younger maps onto older
-        # ones (ref: GCSLAM.cpp:124-147 best match; :187-254 origin merge)
-        oldest = min(r[0].origin_index for r in results)
-        candidates_oldest = [r for r in results if r[0].origin_index == oldest]
-        best = min(candidates_oldest, key=lambda r: float(r[3][3]))
-        kf_best, res_best = best[0], best[1]
-        pose_world = self.poses[kf_best.slot] @ best[3][5:21].reshape(4, 4)
-        frame.origin_index = kf_best.origin_index
-        frame.tracking_success = True
-        kf = self._promote_keyframe(frame, kp, pose_world.astype(np.float32))
-
-        for kf_c, res, kp_ref, _stats in results:
-            self._add_edge(kf_c.slot, kf.slot, kp_ref, kp, res)
-        kf.reg_success_count = len(results)
-
-        # map-origin merging (ref: GCSLAM.cpp:187-254 updateMapOrigin):
-        # a keyframe registering to keyframes from several origins aligns
-        # those origins — re-anchor the younger origin onto the adopted one
-        adopted = kf.origin_index
-        pose_new = self.poses[kf.slot]
-        for kf_c, res, _kp_ref, _stats in results:
-            o = kf_c.origin_index
-            if o == adopted:
-                continue
-            pose_new_in_o = (self.keyframe_pose(kf_c.slot)
-                             @ _stats[5:21].reshape(4, 4))
-            t_align = (pose_new @ np.linalg.inv(pose_new_in_o)).astype(np.float32)
-            for other in self.keyframes:
-                if other.origin_index == o:
-                    self.poses[other.slot] = t_align @ self.poses[other.slot]
-                    other.origin_index = adopted
-                    self.frames[other.frame_index].origin_index = adopted
-            for f in self.frames:
-                if f.origin_index == o:
-                    f.origin_index = adopted
-
-        # descriptor DB insertion gated on match count
-        # (ref: GCSLAM.cpp:171-177 — skip if ≥4 successful matches)
-        if len(results) < 4:
-            self.db.add(kf.slot, kp.desc, kp.valid)
-
-        self._run_ba()
-        self.fail_count = 0
+                    sums = fastba.preintegrate_from_registration(
+                        kp_ref_i.points3d[res_i.match_idx], kp.points3d,
+                        res_i.inliers.astype(jnp.float32), res_i.pose,
+                        jnp.float32(self.config.ba.huber_delta))
+                    results.append((self.keyframes[slot], stats_all[i], sums))
+        return results
 
     # ------------------------------------------------------------ main entry
 
@@ -396,7 +468,7 @@ class GCSLAM:
         if not self.keyframes:
             frame.tracking_success = True
             kf = self._promote_keyframe(frame, kp, np.eye(4, dtype=np.float32))
-            self.db.add(kf.slot, kp.desc, kp.valid)
+            self._db_add(kf.slot, kp)
             self._store_icp_reference(depth)
             self._prev_kp = kp
             return frame
