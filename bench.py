@@ -1,14 +1,17 @@
-"""Benchmark: end-to-end pipeline throughput per chip on real hardware.
+"""Benchmark: end-to-end TEXTURED pipeline throughput per chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline target: ≥30 fps fusion+texture per chip (BASELINE.md — the
 reference's real-time operating point on CPU).
 
-Measures steady-state frames/s of the full reconstruction pipeline
-(preprocessing → tracking → keyframe promotion → TSDF fusion with local
-frames → incremental meshing) on VGA synthetic RGB-D frames fed in
-compact sensor formats (uint16 depth / uint8 rgb), compile excluded via
-warmup frames.
+Measures steady-state frames/s of the complete TextureFusion behavior
+(preprocessing → tracking → keyframe promotion → loop closure + FastBA →
+drift-scheduled de/re-integration → TSDF fusion with local frames →
+incremental meshing → MRF view selection → patches → atlas → color
+compensation) on VGA synthetic RGB-D frames over an OUT-AND-BACK
+trajectory with sensor depth noise — the revisit produces loop-closure
+edges and BA pose corrections, so the drift-scheduled reintegration path
+(ref: MobileFusion.cpp:289-315) is exercised, not skipped.
 """
 
 import json
@@ -27,13 +30,63 @@ from texturefusion_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 
+def make_frames(config, intr, n_frames):
+    """Out-and-back trajectory (revisits its own map) + depth noise."""
+    from texturefusion_tpu.io import synthetic
+    from texturefusion_tpu.ops.preprocess import pack_frame
+
+    n_out = n_frames // 2 + 1
+    fwd = synthetic.orbit_trajectory(n_out)
+    poses = fwd + fwd[-2::-1]
+    poses = poses[:n_frames]
+    cache = (f"/tmp/tf_bench_oab_{intr.width}x{intr.height}_{n_frames}.npz")
+    if os.path.exists(cache):
+        data = np.load(cache)
+        packed = [data[f"f{i}"] for i in range(n_frames)]
+    else:
+        scene = synthetic.BoxRoomScene()
+        depths, rgbs = synthetic.render_sequence(scene, intr, poses)
+        rng = np.random.default_rng(3)
+        packed = []
+        for d, c in zip(depths, rgbs):
+            noise = rng.normal(0.0, 0.004, d.shape).astype(np.float32) \
+                * np.maximum(d, 0.5)
+            dn = np.where(d > 0, d + noise, 0.0)
+            packed.append(pack_frame(
+                (dn * config.camera.depth_scale).astype(np.uint16),
+                (c * 255).astype(np.uint8)))
+        np.savez_compressed(cache, **{f"f{i}": p for i, p in enumerate(packed)})
+    return packed, np.stack(poses)
+
+
+def run(pipe_cls, config, packed, n_warm, timed_range):
+    from texturefusion_tpu.io.prefetch import prefetch_frames
+
+    pipe = pipe_cls(config)
+    for i in range(n_warm):
+        pipe.process_frame(jnp.asarray(packed[i]), timestamp=float(i))
+
+    from texturefusion_tpu.utils.stopwatch import STOPWATCH
+    STOPWATCH.reset()   # drop warmup/compile time from per-stage averages
+
+    stream = prefetch_frames((float(i), packed[i]) for i in timed_range)
+    t0 = time.perf_counter()
+    for ts, frame in stream:
+        pipe.process_frame(frame, timestamp=ts)
+    pipe.flush_tracking()
+    pipe._drain_fusion()
+    jax.block_until_ready(pipe.volume.batch.sdf)
+    dt = time.perf_counter() - t0
+    return pipe, len(timed_range) / dt
+
+
 def main():
     from texturefusion_tpu.config import (CameraConfig, ParallelConfig,
                                           PipelineConfig, TrackingConfig,
                                           TSDFConfig)
     from texturefusion_tpu.core import camera as cam
-    from texturefusion_tpu.fusion.pipeline import ReconstructionPipeline
-    from texturefusion_tpu.io import synthetic
+    from texturefusion_tpu.fusion.pipeline import TexturedPipeline
+    from texturefusion_tpu.io import tum
 
     config = PipelineConfig(
         camera=CameraConfig(far_plane=6.0),
@@ -43,60 +96,37 @@ def main():
         parallel=ParallelConfig(async_fusion=True),
     )
     intr = cam.Intrinsics.from_config(config.camera)
-    scene = synthetic.BoxRoomScene()
-    n_frames = 40
-    n_warm = 12
-    poses = synthetic.orbit_trajectory(n_frames)
-    from texturefusion_tpu.ops.preprocess import pack_frame
-    cache = f"/tmp/tf_bench_frames_{intr.width}x{intr.height}_{n_frames}.npz"
-    if os.path.exists(cache):
-        data = np.load(cache)
-        packed = [data[f"f{i}"] for i in range(n_frames)]
-    else:
-        depths, rgbs = synthetic.render_sequence(scene, intr, poses)
-        packed = [pack_frame((d * config.camera.depth_scale).astype(np.uint16),
-                             (c * 255).astype(np.uint8))
-                  for d, c in zip(depths, rgbs)]
-        np.savez_compressed(cache, **{f"f{i}": p for i, p in enumerate(packed)})
-
-    from texturefusion_tpu.io.prefetch import prefetch_frames
+    n_frames = 60
+    n_warm = 16
+    packed, gt_poses = make_frames(config, intr, n_frames)
 
     # warmup pass: play the WHOLE sequence once through a throwaway
-    # pipeline — this compiles every jit variant the timed pass will hit
-    # (including late-appearing bucket sizes: BA keyframe/edge buckets,
-    # mesher batch buckets) and warms every device→host fetch shape
-    warm = ReconstructionPipeline(config)
-    for i in range(n_frames):
-        warm.process_frame(jnp.asarray(packed[i]), timestamp=float(i))
-    warm._drain_fusion()
-    jax.block_until_ready(warm.volume.batch.sdf)
+    # pipeline — compiles every jit variant the timed pass will hit
+    # (late-appearing bucket sizes: BA keyframe/edge buckets, mesher
+    # batch buckets, texture patch buckets)
+    warm, _ = run(TexturedPipeline, config, packed, 0, range(n_frames))
     del warm
 
-    pipe = ReconstructionPipeline(config)
-    for i in range(n_warm):
-        pipe.process_frame(jnp.asarray(packed[i]), timestamp=float(i))
-    jax.block_until_ready(pipe.volume.batch.sdf)
+    pipe, fps = run(TexturedPipeline, config, packed, n_warm,
+                    range(n_warm, n_frames))
 
     from texturefusion_tpu.utils.stopwatch import STOPWATCH
-    STOPWATCH.reset()   # drop warmup/compile time from per-stage averages
-
-    stream = prefetch_frames((float(i), packed[i])
-                             for i in range(n_warm, n_frames))
-    t0 = time.perf_counter()
-    for ts, frame in stream:
-        pipe.process_frame(frame, timestamp=ts)
-    pipe._drain_fusion()
-    jax.block_until_ready(pipe.volume.batch.sdf)
-    dt = time.perf_counter() - t0
-    fps = (n_frames - n_warm) / dt
-
+    est = pipe.trajectory()
+    ate = tum.ate_rmse(est, gt_poses[: len(est)])
     print("stats:", pipe.stats, file=sys.stderr)
+    print(f"loop-closure/BA edges: {pipe.slam.n_edges} "
+          f"keyframes: {len(pipe.slam.keyframes)}", file=sys.stderr)
+    print(f"ATE RMSE: {ate * 1000:.1f} mm over {len(est)} frames",
+          file=sys.stderr)
     print(STOPWATCH.report(), file=sys.stderr)
+    if pipe.stats["reintegrations"] == 0:
+        print("WARNING: reintegration path not exercised", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "pipeline_fps_per_chip",
+        "metric": "textured_pipeline_fps_per_chip",
         "value": round(fps, 2),
-        "unit": "frames/s (VGA, full SLAM+fusion, 2cm voxels)",
+        "unit": "frames/s (VGA, SLAM+fusion+texture, 2cm voxels, "
+                "out-and-back revisit)",
         "vs_baseline": round(fps / 30.0, 3),
     }))
 

@@ -61,6 +61,10 @@ class TSDFVolume:
         self._pending_obs: List[tuple] = []   # (slots, quality_dev, updated_dev, kf_id, sign)
         self.dirty_mesh: Set[int] = set()       # slots needing remesh
         self.chunks_created: int = 0
+        # slots allocated since the last GC pass (candidates for the
+        # empty-chunk garbage collection each fusion cycle,
+        # ref: Chisel.h:184-216 GC of empty new chunks)
+        self.new_since_gc: Set[int] = set()
 
     @property
     def observations(self) -> Dict[int, Dict[int, float]]:
@@ -106,6 +110,7 @@ class TSDFVolume:
         for s, cid in zip(new_slots.tolist(), map(tuple, new_ids.tolist())):
             self.slot_of[cid] = int(s)
         self.chunks_created += len(new_slots)
+        self.new_since_gc.update(int(s) for s in new_slots)
         origins = new_ids.astype(np.float32) * self.extent
         self.origins = self.origins.at[jnp.asarray(new_slots)].set(
             jnp.asarray(origins))
@@ -298,6 +303,17 @@ class TSDFVolume:
         empty = slots[occ <= 0.0]
         self.release(empty)
         return empty
+
+    def gc_new_chunks(self) -> np.ndarray:
+        """GC pass over chunks allocated since the last pass — frees
+        slots that never received an observation (frustum-culled
+        allocations outside the truncation band; the reference GCs these
+        every integrate, Chisel.h:184-216). Returns freed slots."""
+        if not self.new_since_gc:
+            return np.zeros(0, np.int64)
+        cand = np.asarray(sorted(self.new_since_gc), np.int64)
+        self.new_since_gc.clear()
+        return self.garbage_collect(cand)
 
     def retract_observations(self, keyframe_id: int) -> List[int]:
         """Remove a keyframe's observation-quality entries before

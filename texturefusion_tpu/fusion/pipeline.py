@@ -60,6 +60,21 @@ class KeyframeFusionState:
             self.rgb_host = np.asarray(self.rgb)
         return self.rgb_host
 
+    def release_device_memory(self) -> None:
+        """Stage out device buffers an integrated keyframe no longer
+        needs at frame rate (ref: clearRedudentFrameMemory
+        MobileFusion.cpp:71-90 + staged Frame memory release
+        frame.h:102-136): local depths and quality move to host (they
+        are re-uploaded only on drift reintegration, which is rare) and
+        the running refinement weight is dropped (only the NEWEST
+        keyframe refines). Bounds device residency to ~2 MB/keyframe."""
+        self.local_depths = [np.asarray(d) if not isinstance(d, np.ndarray)
+                             else d for d in self.local_depths]
+        if self.quality is not None and not isinstance(self.quality,
+                                                       np.ndarray):
+            self.quality = np.asarray(self.quality)
+        self.depth_weight = None
+
 
 class ReconstructionPipeline:
     def __init__(self, config: PipelineConfig):
@@ -318,6 +333,14 @@ class ReconstructionPipeline:
         with STOPWATCH.time("meshing"):
             self.mesher.update_meshes()
         self._texture_cycle()
+        # post-cycle housekeeping (ref: FinalizeIntegrateChunks GC,
+        # Chisel.h:184-216; clearRedudentFrameMemory MobileFusion.cpp:71-90)
+        with STOPWATCH.time("gc"):
+            freed = self.volume.gc_new_chunks()
+            if len(freed):
+                self.mesher.drop(freed)
+            if st is not None and st.integrated:
+                st.release_device_memory()
 
     def _texture_cycle(self) -> None:
         """Hook for the texture stage (overridden by TexturedPipeline)."""
@@ -326,7 +349,7 @@ class ReconstructionPipeline:
         """De-integrate at the old pose, re-integrate at the optimized pose
         (ref: MobileFusion.cpp:114-221 ReIntegrateKeyframe; scheduling
         :289-315)."""
-        slots = [s for s, st in self.kf_states.items() if st.integrated]
+        slots = [s for s, st in list(self.kf_states.items()) if st.integrated]
         if not slots:
             return
         current = np.stack([self.slam.keyframe_pose(s) for s in slots])
@@ -438,7 +461,8 @@ class TexturedPipeline(ReconstructionPipeline):
             return
         with STOPWATCH.time("texture"):
             tex_states = {}
-            for slot, st in self.kf_states.items():
+            # snapshot: the tracking thread adds keyframes concurrently
+            for slot, st in list(self.kf_states.items()):
                 tex_states[slot] = types.SimpleNamespace(
                     pose=self.slam.keyframe_pose(slot),
                     rgb=st.rgb_np().astype(np.float32) / 255.0,

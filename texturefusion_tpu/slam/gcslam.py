@@ -71,8 +71,10 @@ class GCSLAM:
         self.frames: List[FrameRecord] = []
         self.keyframes: List[KeyframeRecord] = []
         max_kf = config.ba.max_keyframes
+        import threading
         self._poses_np = np.tile(np.eye(4, dtype=np.float32), (max_kf, 1, 1))
         self._poses_pending = None   # (device flat poses, bucket) from BA
+        self._pose_lock = threading.Lock()
         self.edges = fastba.make_edges(config.ba.max_edges)
         self.n_edges = 0
         self.db = loopclosure.KeyframeDescriptorDB(max_keyframes=max_kf)
@@ -115,17 +117,20 @@ class GCSLAM:
         self._poses_np = value
 
     def _sync_poses(self) -> None:
-        if self._poses_pending is not None:
-            dev, bucket = self._poses_pending
-            self._poses_pending = None
-            self._poses_np[:bucket] = np.asarray(dev).reshape(bucket, 4, 4)
+        # called from both the tracking and the fusion threads
+        with self._pose_lock:
+            if self._poses_pending is not None:
+                dev, bucket = self._poses_pending
+                self._poses_pending = None
+                self._poses_np[:bucket] = np.asarray(dev).reshape(bucket,
+                                                                  4, 4)
 
     @property
     def last_keyframe(self) -> Optional[KeyframeRecord]:
         return self.keyframes[-1] if self.keyframes else None
 
     def keyframe_pose(self, slot: int) -> np.ndarray:
-        return self.poses[slot]
+        return self.poses[slot].copy()   # copy: read from two threads
 
     def frame_pose(self, idx: int) -> np.ndarray:
         """World pose of any frame: keyframe pose ∘ stored relative pose
