@@ -461,11 +461,14 @@ class TexturedPipeline(ReconstructionPipeline):
             return
         with STOPWATCH.time("texture"):
             tex_states = {}
-            # snapshot: the tracking thread adds keyframes concurrently
+            # snapshot: the tracking thread adds keyframes concurrently.
+            # rgb stays the DEVICE uint8 buffer (projection converts on
+            # device); atlas blits use the lazily cached host copy.
             for slot, st in list(self.kf_states.items()):
                 tex_states[slot] = types.SimpleNamespace(
                     pose=self.slam.keyframe_pose(slot),
-                    rgb=st.rgb_np().astype(np.float32) / 255.0,
+                    rgb=st.rgb,
+                    rgb_host=st.rgb_np,
                     depth=st.depth)
             self.texture.update(self.volume, self.mesher, tex_states,
                                 newest_kf=len(self.slam.keyframes) - 1,

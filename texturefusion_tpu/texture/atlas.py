@@ -70,7 +70,11 @@ class Atlas:
         x1, y1 = int(rec.bbox_max[0]) + 1, int(rec.bbox_max[1]) + 1
         x1 = max(x1, x0 + 1)
         y1 = max(y1, y0 + 1)
-        roi = (np.clip(kf_rgb[y0:y1, x0:x1] * 255.0, 0, 255)).astype(np.uint8)
+        if kf_rgb.dtype == np.uint8:
+            roi = np.ascontiguousarray(kf_rgb[y0:y1, x0:x1])
+        else:
+            roi = (np.clip(kf_rgb[y0:y1, x0:x1] * 255.0, 0, 255)
+                   ).astype(np.uint8)
         import cv2
         tile = cv2.resize(roi, (self.patch_size, self.patch_size),
                           interpolation=cv2.INTER_LINEAR)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,7 +31,8 @@ def _bucket(n: int, lo: int = 64) -> int:
 
 
 class ChunkTexture:
-    __slots__ = ("label", "atlas_uv", "uv_valid", "color_adjust", "wrong")
+    __slots__ = ("label", "atlas_uv", "uv_valid", "color_adjust", "wrong",
+                 "tex_color", "vox_color")
 
     def __init__(self):
         self.label = -1
@@ -38,6 +40,10 @@ class ChunkTexture:
         self.uv_valid: Optional[np.ndarray] = None     # [P]
         self.color_adjust: Optional[np.ndarray] = None  # [P, 3]
         self.wrong = False
+        # cached per-vertex color samples for compensation (tex = sampled
+        # from the keyframe at patch uv, vox = fused voxel colors)
+        self.tex_color: Optional[np.ndarray] = None    # [P, 3]
+        self.vox_color: Optional[np.ndarray] = None    # [P, 3]
 
 
 class TextureManager:
@@ -58,11 +64,14 @@ class TextureManager:
     def update(self, volume, mesher, kf_states: Dict[int, object],
                newest_kf: int, remeshed: Optional[set] = None) -> None:
         """One texture cycle over the current mesh."""
-        adjacency = mesher.chunk_adjacency()
+        from texturefusion_tpu.utils.stopwatch import STOPWATCH
+        with STOPWATCH.time("tex_adjacency"):
+            adjacency = mesher.chunk_adjacency()
         if not adjacency:
             return
-        labels = self.selector.select(volume.observations, adjacency,
-                                      volume.ids, newest_kf)
+        with STOPWATCH.time("tex_select"):
+            labels = self.selector.select(volume.observations, adjacency,
+                                          volume.ids, newest_kf)
 
         # chunks needing patch regeneration: label changed or remeshed
         todo: Dict[int, list] = {}
@@ -74,23 +83,35 @@ class TextureManager:
                     or (remeshed is not None and slot in remeshed)):
                 todo.setdefault(kf, []).append(slot)
 
-        for kf, slots in todo.items():
-            self._generate_patches(kf, slots, mesher, kf_states[kf], volume)
+        with STOPWATCH.time("tex_patches"):
+            for kf, slots in todo.items():
+                self._generate_patches(kf, slots, mesher, kf_states[kf],
+                                       volume)
 
-        self._compensate_color(mesher, kf_states)
+        with STOPWATCH.time("tex_compensate"):
+            self._compensate_color(mesher, kf_states)
 
     def _generate_patches(self, kf: int, slots, mesher, kf_state, volume) -> None:
         """Project chunk meshes into keyframe kf, blit atlas patches
-        (ref: Chisel.cpp:149-189; Patch.cpp:40-108)."""
+        (ref: Chisel.cpp:149-189; Patch.cpp:40-108).
+
+        Batched + bucketed: both the chunk axis and the vertex axis pad
+        to power-of-two buckets so the projection kernel compiles once
+        per size class (varying shapes would recompile every cycle), and
+        all host decisions arrive in ONE device_get. Atlas pixel blits
+        happen only when a chunk's LABEL changes (the keyframe image and
+        recorded bbox are immutable, so an unchanged label means
+        unchanged pixels — only the per-vertex uvs refresh on remesh)."""
         meshes = [mesher.meshes[s] for s in slots if s in mesher.meshes]
         slots = [s for s in slots if s in mesher.meshes]
         if not slots:
             return
         pmax = _bucket(max(len(m[0]) for m in meshes))
         u = len(slots)
-        verts = np.zeros((u, pmax, 3), np.float32)
-        valid = np.zeros((u, pmax), bool)
-        vcol = np.zeros((u, pmax, 3), np.float32)
+        ub = _bucket(u, lo=32)
+        verts = np.zeros((ub, pmax, 3), np.float32)
+        valid = np.zeros((ub, pmax), bool)
+        vcol = np.zeros((ub, pmax, 3), np.float32)
         for i, (v, f, c, n) in enumerate(meshes):
             k = len(v)
             verts[i, :k] = v
@@ -100,11 +121,9 @@ class TextureManager:
             jnp.asarray(verts), jnp.asarray(valid), jnp.asarray(vcol),
             jnp.asarray(kf_state.pose), jnp.asarray(kf_state.rgb),
             jnp.asarray(kf_state.depth), self.intr, self.cfg)
-        uv = np.asarray(batch.uv)
-        uv_ok = np.asarray(batch.uv_valid)
-        bmin = np.asarray(batch.bbox_min)
-        bmax = np.asarray(batch.bbox_max)
-        wrong = np.asarray(batch.wrong_mapping)
+        uv, uv_ok, bmin, bmax, wrong, tex_c = jax.device_get(
+            (batch.uv, batch.uv_valid, batch.bbox_min, batch.bbox_max,
+             batch.wrong_mapping, batch.tex_color))
 
         for i, slot in enumerate(slots):
             tex = self.chunk_tex.setdefault(slot, ChunkTexture())
@@ -117,68 +136,82 @@ class TextureManager:
                     obs[kf] = -1e11
                 tex.wrong = True
                 continue
-            rec = self.atlas.add_or_update_patch(
-                slot, kf, bmin[i], bmax[i], kf_state.rgb)
-            if rec is None:
-                return  # atlas full — stop texturing (ref: Atlas overflow)
+            rec = self.atlas.patches.get(slot)
+            if rec is None or rec.kf_id != kf:
+                # new patch or view change → blit pixels + record bbox
+                rgb_host = (kf_state.rgb_host()
+                            if hasattr(kf_state, "rgb_host")
+                            else kf_state.rgb)
+                rec = self.atlas.add_or_update_patch(
+                    slot, kf, bmin[i], bmax[i], rgb_host)
+                if rec is None:
+                    return  # atlas full — stop (ref: Atlas overflow)
             n_verts = len(meshes[i][0])
             tex.label = kf
             tex.wrong = False
             tex.atlas_uv = self.atlas.atlas_uv(slot, uv[i, :n_verts])
             tex.uv_valid = uv_ok[i, :n_verts]
+            tex.tex_color = tex_c[i, :n_verts]
+            tex.vox_color = meshes[i][2]
 
     def _compensate_color(self, mesher, kf_states) -> None:
         """Global color transfer per keyframe cluster
         (ref: Chisel.cpp:198-286 CompensateColor). Also records the
         per-keyframe transfer so export can bake it into the atlas (the
         reference applies it per-vertex in the shader,
-        draw_mesh.vert:29-70)."""
-        samples_tex, samples_vox, clusters, owners = [], [], [], []
+        draw_mesh.vert:29-70).
+
+        Consumes the per-vertex texture/voxel color samples CACHED by
+        patch generation (sampled on device from the keyframe image) —
+        no per-chunk atlas reads. Shapes pad to buckets so the cluster
+        kernels compile once per size class."""
+        samples_tex, samples_vox, clusters, owners, weights = \
+            [], [], [], [], []
         kf_row = {}
-        for slot, tex in self.chunk_tex.items():
-            if tex.label < 0 or tex.wrong or slot not in mesher.meshes:
+        for slot, tex in list(self.chunk_tex.items()):
+            if (tex.label < 0 or tex.wrong or tex.tex_color is None
+                    or tex.vox_color is None):
                 continue
-            v, f, c, n = mesher.meshes[slot]
-            kf_state = kf_states.get(tex.label)
-            if kf_state is None or tex.atlas_uv is None:
+            if tex.label not in kf_states:
                 continue
             if tex.label not in kf_row:
                 kf_row[tex.label] = len(kf_row)
-            # sample texture colors at the patch uvs from the atlas source
-            # (keyframe image) — reuse stored per-vertex sampled color via
-            # re-projection is equivalent; here sample the atlas directly
-            n_verts = min(len(v), len(tex.atlas_uv))
-            px = (tex.atlas_uv[:n_verts, 0] * self.atlas.size).astype(int)
-            py = ((1.0 - tex.atlas_uv[:n_verts, 1]) * self.atlas.size).astype(int)
-            px = np.clip(px, 0, self.atlas.size - 1)
-            py = np.clip(py, 0, self.atlas.size - 1)
-            tex_c = self.atlas.image[py, px].astype(np.float32) / 255.0
-            samples_tex.append(tex_c)
-            samples_vox.append(c[:n_verts])
+            n_verts = min(len(tex.tex_color), len(tex.vox_color))
+            samples_tex.append(tex.tex_color[:n_verts])
+            samples_vox.append(tex.vox_color[:n_verts])
             clusters.append(np.full(n_verts, kf_row[tex.label], np.int32))
-            owners.append((slot, n_verts, tex.uv_valid[:n_verts]))
+            weights.append(tex.uv_valid[:n_verts].astype(np.float32))
+            owners.append((slot, n_verts))
         if not samples_tex:
             return
-        tex_all = jnp.asarray(np.concatenate(samples_tex))
-        vox_all = jnp.asarray(np.concatenate(samples_vox))
-        cl_all = jnp.asarray(np.concatenate(clusters))
-        w_all = jnp.asarray(np.concatenate(
-            [o[2].astype(np.float32) for o in owners]))
-        n_cl = max(len(kf_row), 1)
-        mean_t, cov_t = color_ops.cluster_stats(tex_all, w_all, cl_all, n_cl)
-        mean_v, cov_v = color_ops.cluster_stats(vox_all, w_all, cl_all, n_cl)
+        tex_all = np.concatenate(samples_tex)
+        vox_all = np.concatenate(samples_vox)
+        cl_all = np.concatenate(clusters)
+        w_all = np.concatenate(weights)
+        n = len(tex_all)
+        nb = _bucket(n, lo=4096)
+        pad = nb - n
+        tex_j = jnp.asarray(np.concatenate(
+            [tex_all, np.zeros((pad, 3), np.float32)]))
+        vox_j = jnp.asarray(np.concatenate(
+            [vox_all, np.zeros((pad, 3), np.float32)]))
+        cl_j = jnp.asarray(np.concatenate([cl_all, np.zeros(pad, np.int32)]))
+        w_j = jnp.asarray(np.concatenate([w_all, np.zeros(pad, np.float32)]))
+        n_cl = _bucket(max(len(kf_row), 1), lo=4)
+        mean_t, cov_t = color_ops.cluster_stats(tex_j, w_j, cl_j, n_cl)
+        mean_v, cov_v = color_ops.cluster_stats(vox_j, w_j, cl_j, n_cl)
         t_mats = color_ops.transfer_matrices(mean_t, cov_t, mean_v, cov_v)
-        corrected = color_ops.apply_transfer(tex_all, cl_all, t_mats,
+        corrected = color_ops.apply_transfer(tex_j, cl_j, t_mats,
                                              mean_t, mean_v)
-        deltas = np.asarray(corrected - tex_all)
+        deltas, t_np, mt_np, mv_np = jax.device_get(
+            (corrected - tex_j, t_mats, mean_t, mean_v))
         pos = 0
-        for slot, n_verts, _ in owners:
+        for slot, n_verts in owners:
             self.chunk_tex[slot].color_adjust = deltas[pos:pos + n_verts]
             pos += n_verts
         # keep per-keyframe transfers for baking into the atlas at export
         self._kf_transfer = {
-            kf: (np.asarray(t_mats[row]), np.asarray(mean_t[row]),
-                 np.asarray(mean_v[row]))
+            kf: (t_np[row], mt_np[row], mv_np[row])
             for kf, row in kf_row.items()
         }
 

@@ -44,6 +44,8 @@ def project_patches(
     intr: cam.Intrinsics,
     cfg: TextureConfig,
 ) -> PatchBatch:
+    if kf_rgb.dtype == jnp.uint8:
+        kf_rgb = kf_rgb.astype(jnp.float32) / 255.0
     world_to_cam = se3.inverse(kf_pose)
     pts_cam = se3.transform_points(world_to_cam, verts)             # [U,P,3]
     uv, z = cam.project(intr, pts_cam)
