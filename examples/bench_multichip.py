@@ -92,28 +92,121 @@ def bench_distributed_ba(n_devices, n_kf=64, n_edges=512, n_iters=10):
     return n_iters * cfg.gn_iterations_per_round / dt
 
 
+def bench_full_step(n_devices, cap=512, n_iters=10):
+    """The complete multi-chip map cycle (discovery + sharded integrate +
+    meshing + datacost + MRF + distributed BA) — steps/s."""
+    import __graft_entry__  # noqa: F401  (repo-root path side effect)
+    from texturefusion_tpu.config import CameraConfig, tiny_test_config
+    from texturefusion_tpu.core import camera as cam
+    from texturefusion_tpu.models.reconstruction import (
+        MultichipFullState, make_multichip_full_step)
+    from texturefusion_tpu.ops import tsdf as tsdf_ops
+    from texturefusion_tpu.parallel import ba as pba
+    from texturefusion_tpu.parallel.mesh import make_mesh
+    from texturefusion_tpu.slam import fastba
+    from texturefusion_tpu.texture import mrf as mrf_ops
+
+    mesh = make_mesh(n_devices)
+    sh = NamedSharding(mesh, P("shard"))
+    rep = NamedSharding(mesh, P())
+    cfg = tiny_test_config()
+    intr = cam.Intrinsics.from_config(CameraConfig(far_plane=6.0))
+    n_kf = 16
+    cap = max(cap, n_devices)
+    cap -= cap % n_devices
+    n_vox = cfg.tsdf.chunk_size ** 3
+    mesh_u = 64
+    rng = np.random.default_rng(0)
+    step = make_multichip_full_step(mesh, intr, cfg.tsdf, cfg.ba, n_kf,
+                                    mesh_u)
+    batch = tsdf_ops.ChunkBatch(
+        sdf=jax.device_put(jnp.full((cap, n_vox), tsdf_ops.RESET_SDF), sh),
+        weight=jax.device_put(jnp.zeros((cap, n_vox)), sh),
+        color=jax.device_put(jnp.zeros((cap, n_vox, 3)), sh),
+        color_count=jax.device_put(jnp.zeros((cap, n_vox)), sh))
+    origins = jax.device_put(jnp.asarray(
+        (rng.integers(-8, 8, (cap, 3)) * 0.16).astype(np.float32)), sh)
+    edges = fastba.make_edges(max(64, n_devices))
+    p = jnp.asarray(rng.uniform(-1, 1, (32, 3)).astype(np.float32))
+    s = fastba.preintegrate_edge(p, p, jnp.ones(32))
+    edges = edges._replace(
+        kf_i=edges.kf_i.at[0].set(0), kf_j=edges.kf_j.at[0].set(1),
+        s_w=edges.s_w.at[0].set(s[0]), s_p=edges.s_p.at[0].set(s[1]),
+        s_q=edges.s_q.at[0].set(s[2]), s_pp=edges.s_pp.at[0].set(s[3]),
+        s_qq=edges.s_qq.at[0].set(s[4]), s_pq=edges.s_pq.at[0].set(s[5]),
+        valid=edges.valid.at[0].set(True))
+    edges = jax.tree.map(lambda a: jax.device_put(a, sh),
+                         pba.pad_edges_for_mesh(edges, n_devices))
+    state = MultichipFullState(
+        batch=batch, origins=origins,
+        active=jax.device_put(jnp.ones(cap, bool), sh),
+        datacost=jax.device_put(jnp.zeros((cap, n_kf)), sh),
+        poses=jax.device_put(jnp.tile(jnp.eye(4), (n_kf, 1, 1)), rep),
+        edges=edges)
+    depth = jnp.asarray(rng.uniform(0.5, 3.0, (intr.height, intr.width))
+                        .astype(np.float32))
+    rgb = jnp.asarray(rng.uniform(0, 1, (intr.height, intr.width, 3))
+                      .astype(np.float32))
+    quality = jnp.abs(rgb[..., 0])
+    active_kf = jnp.ones(n_kf, bool)
+    mesh_slots = jax.device_put(jnp.arange(mesh_u, dtype=jnp.int32) % cap,
+                                rep)
+    nodes, ll = 256, 8
+    problem = mrf_ops.MRFProblem(
+        unary=jax.device_put(jnp.asarray(
+            rng.uniform(0, 1, (nodes, ll)).astype(np.float32)), rep),
+        label_kf=jax.device_put(jnp.asarray(
+            rng.integers(0, n_kf, (nodes, ll)).astype(np.int32)), rep),
+        neighbors=jax.device_put(jnp.asarray(
+            rng.integers(0, nodes, (nodes, 6)).astype(np.int32)), rep),
+        parity=jax.device_put(jnp.arange(nodes, dtype=jnp.int32) % 2, rep),
+        init_label=jax.device_put(jnp.zeros(nodes, jnp.int32), rep),
+        n_valid=jax.device_put(jnp.ones(nodes, bool), rep))
+
+    args = (depth, rgb, quality, jnp.eye(4), jnp.int32(1), active_kf,
+            mesh_slots, problem)
+    state, *_ = step(state, *args)
+    jax.block_until_ready(state.poses)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, n_found, vcount, labels = step(state, *args)
+    _ = np.asarray(n_found)   # honest sync on the tunneled backend
+    jax.block_until_ready(state.poses)
+    return n_iters / (time.perf_counter() - t0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cap", type=int, default=4096)
     args = ap.parse_args()
     n_all = len(jax.devices())
     print(f"devices available: {n_all} ({jax.devices()[0].platform})")
+    print(f"{'config':>34s} | {'1 device':>12s} | "
+          f"{f'{n_all} devices':>12s} | efficiency")
 
     fps1 = bench_sharded_tsdf(1, args.cap)
-    print(f"sharded TSDF integrate, 1 device: {fps1:.2f} steps/s "
-          f"({args.cap} chunks resident)")
     ba1 = bench_distributed_ba(1)
-    print(f"distributed BA, 1 device: {ba1:.1f} GN iters/s")
+    full1 = bench_full_step(1)
     if n_all > 1:
         fpsN = bench_sharded_tsdf(n_all, args.cap)
         baN = bench_distributed_ba(n_all)
-        eff_tsdf = fpsN / (fps1 * n_all)
-        eff_ba = baN / ba1
-        print(f"sharded TSDF integrate, {n_all} devices: {fpsN:.2f} steps/s "
-              f"(scaling efficiency {eff_tsdf:.0%})")
-        print(f"distributed BA, {n_all} devices: {baN:.1f} GN iters/s "
-              f"(vs 1-device {eff_ba:.0%})")
+        fullN = bench_full_step(n_all)
+        print(f"{'sharded TSDF integrate (steps/s)':>34s} | {fps1:12.2f} | "
+              f"{fpsN:12.2f} | {fpsN / (fps1 * n_all):.0%} per-device")
+        print(f"{'distributed BA (GN iters/s)':>34s} | {ba1:12.1f} | "
+              f"{baN:12.1f} | {baN / ba1:.0%} vs 1-device")
+        print(f"{'FULL map cycle (steps/s)':>34s} | {full1:12.2f} | "
+              f"{fullN:12.2f} | {fullN / full1:.0%} vs 1-device")
+        if jax.devices()[0].platform == "cpu":
+            print("(virtual CPU devices validate sharding correctness; "
+                  "speedups require real chips)")
     else:
+        print(f"{'sharded TSDF integrate (steps/s)':>34s} | {fps1:12.2f} | "
+              f"{'—':>12s} |")
+        print(f"{'distributed BA (GN iters/s)':>34s} | {ba1:12.1f} | "
+              f"{'—':>12s} |")
+        print(f"{'FULL map cycle (steps/s)':>34s} | {full1:12.2f} | "
+              f"{'—':>12s} |")
         print("single device only — multi-chip efficiency requires hardware")
 
 

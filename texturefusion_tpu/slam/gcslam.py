@@ -361,7 +361,13 @@ class GCSLAM:
             kp, ts, jnp.asarray(have_tracked), self._split_key(),
             self.cfg.salient_score_threshold, self.config.ba.huber_delta,
             self.cfg, self.intr, n_cand)
-        fetched = np.asarray(probe.fetch).reshape(n_cand, 23)
+        fetched = np.asarray(probe.fetch).reshape(n_cand, 25)
+        import os
+        if os.environ.get("TF_DEBUG_LC"):
+            print(f"[LC] kf={len(self.keyframes)} cands="
+                  + " ".join(f"(slot {int(r[0])} ok {r[1]:.0f} "
+                             f"ninl {r[3]:.0f} sim {r[23]:.0f} "
+                             f"sal {r[24]:.2f})" for r in fetched))
         results = []
         seen = set()
         for i in range(n_cand):

@@ -138,9 +138,13 @@ def promote_probe(db_kp: Keypoints,            # stacked by keyframe slot
             p, q, inl, pose, jnp.float32(huber_delta))
 
     s_w, s_p, s_q, s_pp, s_qq, s_pq = jax.vmap(edge_one)(kp_c, res, stats)
+    cand_sim = jnp.concatenate([jnp.zeros(1), top_sims])
+    cand_sal = jnp.concatenate([jnp.zeros(1), salient[top_rows]])
     fetch = jnp.concatenate([cand_slots[:, None].astype(jnp.float32),
                              ok[:, None].astype(jnp.float32),
-                             stats], axis=1)                  # [C, 23]
+                             stats,
+                             cand_sim[:, None], cand_sal[:, None]],
+                            axis=1)                           # [C, 25]
     return PromoteProbe(cand_slots=cand_slots, cand_ok=ok, stats=stats,
                         s_w=s_w, s_p=s_p, s_q=s_q,
                         s_pp=s_pp, s_qq=s_qq, s_pq=s_pq,

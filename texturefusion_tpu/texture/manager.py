@@ -74,58 +74,67 @@ class TextureManager:
                                           volume.ids, newest_kf)
 
         # chunks needing patch regeneration: label changed or remeshed
-        todo: Dict[int, list] = {}
+        todo = []   # (slot, kf)
         for slot, kf in labels.items():
             if kf not in kf_states:
                 continue
             tex = self.chunk_tex.get(slot)
             if (tex is None or tex.label != kf
                     or (remeshed is not None and slot in remeshed)):
-                todo.setdefault(kf, []).append(slot)
+                todo.append((slot, kf))
 
         with STOPWATCH.time("tex_patches"):
-            for kf, slots in todo.items():
-                self._generate_patches(kf, slots, mesher, kf_states[kf],
-                                       volume)
+            self._generate_patches_multi(todo, mesher, kf_states, volume)
 
         with STOPWATCH.time("tex_compensate"):
             self._compensate_color(mesher, kf_states)
 
-    def _generate_patches(self, kf: int, slots, mesher, kf_state, volume) -> None:
-        """Project chunk meshes into keyframe kf, blit atlas patches
-        (ref: Chisel.cpp:149-189; Patch.cpp:40-108).
-
-        Batched + bucketed: both the chunk axis and the vertex axis pad
-        to power-of-two buckets so the projection kernel compiles once
-        per size class (varying shapes would recompile every cycle), and
-        all host decisions arrive in ONE device_get. Atlas pixel blits
-        happen only when a chunk's LABEL changes (the keyframe image and
-        recorded bbox are immutable, so an unchanged label means
-        unchanged pixels — only the per-vertex uvs refresh on remesh)."""
-        meshes = [mesher.meshes[s] for s in slots if s in mesher.meshes]
-        slots = [s for s in slots if s in mesher.meshes]
-        if not slots:
+    def _generate_patches_multi(self, todo, mesher, kf_states, volume) -> None:
+        """Patch generation for chunks labeled with MANY keyframes in ONE
+        dispatch + ONE fetch (project_patches_multi): the per-view loop
+        of the reference (Chisel.cpp:149-189) would cost a ~30-60 ms
+        dispatch+sync per view here."""
+        todo = [(s, kf) for s, kf in todo if s in mesher.meshes]
+        if not todo:
             return
+        kfs = sorted({kf for _, kf in todo})
+        lb = _bucket(len(kfs), lo=2)
+        kf_of_row = {kf: i for i, kf in enumerate(kfs)}
+        poses = np.zeros((lb, 4, 4), np.float32)
+        rgb_list, depth_list = [], []
+        for kf in kfs:
+            st = kf_states[kf]
+            poses[kf_of_row[kf]] = st.pose
+            rgb_list.append(jnp.asarray(st.rgb))
+            depth_list.append(jnp.asarray(st.depth))
+        while len(rgb_list) < lb:
+            rgb_list.append(rgb_list[0])
+            depth_list.append(depth_list[0])
+        kf_rgbs = jnp.stack(rgb_list)
+        kf_depths = jnp.stack(depth_list)
+
+        meshes = [mesher.meshes[s] for s, _ in todo]
         pmax = _bucket(max(len(m[0]) for m in meshes))
-        u = len(slots)
-        ub = _bucket(u, lo=32)
+        ub = _bucket(len(todo), lo=32)
         verts = np.zeros((ub, pmax, 3), np.float32)
         valid = np.zeros((ub, pmax), bool)
         vcol = np.zeros((ub, pmax, 3), np.float32)
-        for i, (v, f, c, n) in enumerate(meshes):
+        rows = np.zeros(ub, np.int32)
+        for i, ((slot, kf), (v, f, c, n)) in enumerate(zip(todo, meshes)):
             k = len(v)
             verts[i, :k] = v
             valid[i, :k] = True
             vcol[i, :k] = c
-        batch = patch_ops.project_patches(
+            rows[i] = kf_of_row[kf]
+        batch = patch_ops.project_patches_multi(
             jnp.asarray(verts), jnp.asarray(valid), jnp.asarray(vcol),
-            jnp.asarray(kf_state.pose), jnp.asarray(kf_state.rgb),
-            jnp.asarray(kf_state.depth), self.intr, self.cfg)
+            jnp.asarray(rows), jnp.asarray(poses), kf_rgbs, kf_depths,
+            self.intr, self.cfg)
         uv, uv_ok, bmin, bmax, wrong, tex_c = jax.device_get(
             (batch.uv, batch.uv_valid, batch.bbox_min, batch.bbox_max,
              batch.wrong_mapping, batch.tex_color))
 
-        for i, slot in enumerate(slots):
+        for i, (slot, kf) in enumerate(todo):
             tex = self.chunk_tex.setdefault(slot, ChunkTexture())
             if wrong[i]:
                 # wrong mapping: poison this keyframe's observation so the
@@ -138,10 +147,9 @@ class TextureManager:
                 continue
             rec = self.atlas.patches.get(slot)
             if rec is None or rec.kf_id != kf:
-                # new patch or view change → blit pixels + record bbox
-                rgb_host = (kf_state.rgb_host()
-                            if hasattr(kf_state, "rgb_host")
-                            else kf_state.rgb)
+                st = kf_states[kf]
+                rgb_host = (st.rgb_host() if hasattr(st, "rgb_host")
+                            else st.rgb)
                 rec = self.atlas.add_or_update_patch(
                     slot, kf, bmin[i], bmax[i], rgb_host)
                 if rec is None:

@@ -48,6 +48,12 @@ def project_patches(
         kf_rgb = kf_rgb.astype(jnp.float32) / 255.0
     world_to_cam = se3.inverse(kf_pose)
     pts_cam = se3.transform_points(world_to_cam, verts)             # [U,P,3]
+    return _patch_from_cam(pts_cam, vert_valid, vert_color, kf_rgb,
+                           kf_depth, intr, cfg)
+
+
+def _patch_from_cam(pts_cam, vert_valid, vert_color, kf_rgb, kf_depth,
+                    intr, cfg) -> PatchBatch:
     uv, z = cam.project(intr, pts_cam)
     in_img = cam.in_image(intr, uv, margin=1.0) & (z > intr.near)
     ok = vert_valid & in_img
@@ -72,3 +78,76 @@ def project_patches(
     bbox_max = jnp.clip(bbox_max, 0, jnp.asarray([intr.width - 1, intr.height - 1]))
     return PatchBatch(uv=uv, uv_valid=ok, bbox_min=bbox_min, bbox_max=bbox_max,
                       wrong_mapping=wrong, tex_color=tex)
+
+
+def _bilinear_multi(imgs: jnp.ndarray, row: jnp.ndarray, uv: jnp.ndarray):
+    """Bilinear sample per-chunk SOURCE images: imgs [L, H, W(, C)],
+    row [U] image index per chunk, uv [U, P, 2]. Returns [U, P(, C)]."""
+    L, h, w = imgs.shape[:3]
+    chans = imgs.shape[3] if imgs.ndim == 4 else 0
+    x = jnp.clip(uv[..., 0], 0.0, w - 1.001)
+    y = jnp.clip(uv[..., 1], 0.0, h - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None] if chans else (x - x0)
+    fy = (y - y0)[..., None] if chans else (y - y0)
+    base = row[:, None] * (h * w) + y0 * w + x0          # [U, P]
+    flat = imgs.reshape(L * h * w, chans) if chans else imgs.reshape(-1)
+    take = (lambda i: jnp.take(flat, i, axis=0)) if chans \
+        else (lambda i: jnp.take(flat, i))
+    v00 = take(base)
+    v01 = take(base + 1)
+    v10 = take(base + w)
+    v11 = take(base + w + 1)
+    top = v00 + (v01 - v00) * fx
+    bot = v10 + (v11 - v10) * fx
+    return top + (bot - top) * fy
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "cfg"))
+def project_patches_multi(
+    verts: jnp.ndarray,        # [U, P, 3] world-space chunk mesh vertices
+    vert_valid: jnp.ndarray,   # [U, P]
+    vert_color: jnp.ndarray,   # [U, P, 3]
+    kf_row: jnp.ndarray,       # [U] int32 index into the stacked keyframes
+    kf_poses: jnp.ndarray,     # [L, 4, 4] camera-to-world per keyframe
+    kf_rgbs: jnp.ndarray,      # [L, H, W, 3] uint8 or float
+    kf_depths: jnp.ndarray,    # [L, H, W]
+    intr: cam.Intrinsics,
+    cfg: TextureConfig,
+) -> PatchBatch:
+    """project_patches over chunks labeled with DIFFERENT keyframes in
+    one program — the whole texture cycle's patch generation is one
+    dispatch + one fetch regardless of how many views are in play (the
+    reference loops chunks per keyframe on the CPU, Chisel.cpp:149-189)."""
+    if kf_rgbs.dtype == jnp.uint8:
+        kf_rgbs = kf_rgbs.astype(jnp.float32) / 255.0
+    w2c = se3.inverse(kf_poses)[kf_row]                   # [U, 4, 4]
+    pts_cam = jnp.einsum("uij,upj->upi", w2c[:, :3, :3], verts) \
+        + w2c[:, None, :3, 3]
+    uv, z = cam.project(intr, pts_cam)
+    in_img = cam.in_image(intr, uv, margin=1.0) & (z > intr.near)
+    ok = vert_valid & in_img
+
+    tex = _bilinear_multi(kf_rgbs, kf_row, uv)            # [U, P, 3]
+    d_kf = _bilinear_multi(kf_depths, kf_row, uv)         # [U, P]
+
+    color_bad = jnp.max(jnp.abs(tex - vert_color), axis=-1) \
+        > cfg.wrong_mapping_color
+    depth_bad = jnp.abs(d_kf - z) > cfg.wrong_mapping_depth
+    occluded = (d_kf > intr.near) & (z > d_kf + 0.05)
+    bad = ok & (color_bad | depth_bad | occluded)
+    n_ok = jnp.maximum(jnp.sum(ok, axis=1), 1)
+    wrong = (jnp.sum(bad, axis=1) / n_ok) > cfg.wrong_mapping_frac
+    wrong = wrong | (jnp.sum(ok, axis=1) == 0)
+
+    big = 1e9
+    uv_masked = jnp.where(ok[..., None], uv, big)
+    bbox_min = jnp.floor(jnp.min(uv_masked, axis=1) - 1.0)
+    uv_masked = jnp.where(ok[..., None], uv, -big)
+    bbox_max = jnp.ceil(jnp.max(uv_masked, axis=1) + 1.0)
+    lim = jnp.asarray([intr.width - 1, intr.height - 1])
+    bbox_min = jnp.clip(bbox_min, 0, lim)
+    bbox_max = jnp.clip(bbox_max, 0, lim)
+    return PatchBatch(uv=uv, uv_valid=ok, bbox_min=bbox_min,
+                      bbox_max=bbox_max, wrong_mapping=wrong, tex_color=tex)
