@@ -101,6 +101,10 @@ class TSDFConfig:
     color_saturation: float = 120.0    # accumulator rescale threshold (÷4)
     max_update_chunks: int = 2048      # static per-frame intersect-chunk budget
     local_frames_per_keyframe: int = 6  # depth-only local frames integrated
+    # chunk streaming (fusion/streaming.py): offload far chunks to host
+    # when more than this many slots are resident; 0 disables
+    max_resident_chunks: int = 0
+    streaming_radius: float = 6.0      # meters: chunks beyond this offload
 
 
 @dataclasses.dataclass(frozen=True)

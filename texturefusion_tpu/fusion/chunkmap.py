@@ -31,6 +31,22 @@ from texturefusion_tpu.core import geometry
 from texturefusion_tpu.ops import tsdf as tsdf_ops
 
 
+@jax.jit
+def _row_occupancy(weight: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(jnp.abs(jnp.take(weight, idx, axis=0)), axis=-1)
+
+
+@jax.jit
+def _reset_rows(batch: "tsdf_ops.ChunkBatch",
+                idx: jnp.ndarray) -> "tsdf_ops.ChunkBatch":
+    return tsdf_ops.ChunkBatch(
+        sdf=batch.sdf.at[idx].set(tsdf_ops.RESET_SDF),
+        weight=batch.weight.at[idx].set(0.0),
+        color=batch.color.at[idx].set(0.0),
+        color_count=batch.color_count.at[idx].set(0.0),
+    )
+
+
 class TSDFVolume:
     def __init__(self, config: PipelineConfig,
                  sharding: Optional[object] = None):
@@ -65,6 +81,9 @@ class TSDFVolume:
         # empty-chunk garbage collection each fusion cycle,
         # ref: Chisel.h:184-216 GC of empty new chunks)
         self.new_since_gc: Set[int] = set()
+        # optional ChunkStreamer (fusion/streaming.py): restores offloaded
+        # chunks on revisit before slot assignment
+        self.streamer = None
 
     @property
     def observations(self) -> Dict[int, Dict[int, float]]:
@@ -136,27 +155,35 @@ class TSDFVolume:
         """Slots for chunk IDs without allocating; -1 for absent."""
         return self.alloc.lookup(np.asarray(ids, np.int32))
 
+    @staticmethod
+    def _bucket_slots(slots: np.ndarray, pad_value: int,
+                      lo: int = 64) -> np.ndarray:
+        """Pad a slot list to a power-of-two bucket so jitted consumers
+        compile once per size class, not once per distinct count."""
+        b = lo
+        while b < len(slots):
+            b *= 2
+        return np.concatenate(
+            [slots, np.full(b - len(slots), pad_value, np.int64)])
+
     def release(self, slots: np.ndarray) -> None:
         """Free chunk slots and reset their device rows
         (ref: Chisel.h:184-216 GC of empty new chunks)."""
         slots = np.asarray([s for s in np.atleast_1d(slots) if s >= 0], np.int64)
         if len(slots) == 0:
             return
+        self.flush_observations()   # pending updates must not resurrect
         self.alloc.release(slots)
         for s in slots.tolist():
             cid = tuple(self.ids[s])
             if self.slot_of.get(cid) == s:
                 del self.slot_of[cid]
             self.used[s] = False
-            self.observations.pop(s, None)
+            self._observations.pop(s, None)
             self.dirty_mesh.discard(s)
-        idx = jnp.asarray(slots)
-        self.batch = tsdf_ops.ChunkBatch(
-            sdf=self.batch.sdf.at[idx].set(tsdf_ops.RESET_SDF),
-            weight=self.batch.weight.at[idx].set(0.0),
-            color=self.batch.color.at[idx].set(0.0),
-            color_count=self.batch.color_count.at[idx].set(0.0),
-        )
+        # bucketed reset (pad rows hit the trash slot, already reset)
+        idx = jnp.asarray(self._bucket_slots(slots, self.cfg.capacity))
+        self.batch = _reset_rows(self.batch, idx)
 
     # ---------------------------------------------------------- integration
 
@@ -188,6 +215,9 @@ class TSDFVolume:
         if n == 0:
             return np.zeros((0,), np.int64)
         ids = np.asarray(ids)[:n]
+        if self.streamer is not None and allocate:
+            # revisited space: restore offloaded chunks before assignment
+            self.streamer.ensure_resident(ids)
         # slot assignment (+dedup safety) in one native pass
         slots, new_slots = self.alloc.touch(ids, allocate=allocate)
         self._register_new(new_slots)
@@ -298,9 +328,12 @@ class TSDFVolume:
         (ref: Chisel.h:472-477 GarbageCollect). Returns freed slots."""
         if len(slots) == 0:
             return slots
-        idx = jnp.asarray(slots)
-        occ = np.asarray(jnp.sum(jnp.abs(self.batch.weight[idx]), axis=-1))
-        empty = slots[occ <= 0.0]
+        # bucketed occupancy probe (variable shapes recompile per cycle)
+        padded = self._bucket_slots(np.asarray(slots, np.int64),
+                                    self.cfg.capacity)
+        occ = np.asarray(_row_occupancy(self.batch.weight,
+                                        jnp.asarray(padded)))[: len(slots)]
+        empty = np.asarray(slots)[occ <= 0.0]
         self.release(empty)
         return empty
 

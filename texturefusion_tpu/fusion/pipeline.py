@@ -83,6 +83,13 @@ class ReconstructionPipeline:
         self.slam = GCSLAM(config)
         self.volume = TSDFVolume(config)
         self.mesher = IncrementalMesher(self.volume)
+        self.streamer = None
+        if config.tsdf.max_resident_chunks > 0:
+            from texturefusion_tpu.fusion.streaming import ChunkStreamer
+            self.streamer = ChunkStreamer(
+                self.volume, config.tsdf.max_resident_chunks,
+                offload_radius=config.tsdf.streaming_radius)
+            self.volume.streamer = self.streamer
         self.kf_states: Dict[int, KeyframeFusionState] = {}
         self._last_seen_kf = -1
         self._inflight: Optional[dict] = None   # pipelined pending frame
@@ -341,6 +348,15 @@ class ReconstructionPipeline:
                 self.mesher.drop(freed)
             if st is not None and st.integrated:
                 st.release_device_memory()
+            if (self.streamer is not None
+                    and self.volume.n_active()
+                    > self.config.tsdf.max_resident_chunks):
+                cam_pos = self.slam.keyframe_pose(finished_slot)[:3, 3]
+                n_off = self.streamer.offload_cold(cam_pos)
+                if n_off:
+                    # offloaded chunks keep their meshes (geometry is
+                    # still valid) but lose device residency
+                    pass
 
     def _texture_cycle(self) -> None:
         """Hook for the texture stage (overridden by TexturedPipeline)."""
