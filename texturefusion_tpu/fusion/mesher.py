@@ -24,7 +24,18 @@ class IncrementalMesher:
         self.volume = volume
         # slot -> (verts, faces, colors, normals) in world space
         self.meshes: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
+        # chunk-id -> mesh of an OFFLOADED chunk (streaming): its slot was
+        # recycled but the surface still exists and must export
+        self.frozen: Dict[Tuple[int, int, int], tuple] = {}
         self.last_remeshed: set = set()
+
+    def freeze(self, slots) -> None:
+        """Move offloaded chunks' meshes to chunk-id keys (their slots
+        are being recycled by the streamer)."""
+        for s in np.atleast_1d(slots).tolist():
+            m = self.meshes.pop(int(s), None)
+            if m is not None:
+                self.frozen[tuple(self.volume.ids[int(s)].tolist())] = m
 
     def _neighbor_slots(self, slots: np.ndarray) -> np.ndarray:
         """[U, 8] slot of self + 7 positive-corner neighbors (trash if absent)
@@ -136,10 +147,8 @@ class IncrementalMesher:
             self.meshes.pop(int(s), None)
 
     def full_mesh(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-        """Concatenate all chunk meshes: (verts, faces, colors, normals)."""
-        if not self.meshes:
-            z = np.zeros((0, 3), np.float32)
-            return z, np.zeros((0, 3), np.int32), z, z
+        """Concatenate all chunk meshes (resident + offloaded-frozen):
+        (verts, faces, colors, normals)."""
         vs, fs, cs, ns = [], [], [], []
         base = 0
         for slot in sorted(self.meshes):
@@ -149,6 +158,18 @@ class IncrementalMesher:
             cs.append(c)
             ns.append(n)
             base += len(v)
+        for cid in sorted(self.frozen):
+            if self.volume.slot_of.get(cid) is not None:
+                continue   # restored + remeshed under its new slot
+            v, f, c, n = self.frozen[cid]
+            vs.append(v)
+            fs.append(f + base)
+            cs.append(c)
+            ns.append(n)
+            base += len(v)
+        if not vs:
+            z = np.zeros((0, 3), np.float32)
+            return z, np.zeros((0, 3), np.int32), z, z
         return (np.concatenate(vs), np.concatenate(fs),
                 np.concatenate(cs), np.concatenate(ns))
 

@@ -352,11 +352,13 @@ class ReconstructionPipeline:
                     and self.volume.n_active()
                     > self.config.tsdf.max_resident_chunks):
                 cam_pos = self.slam.keyframe_pose(finished_slot)[:3, 3]
-                n_off = self.streamer.offload_cold(cam_pos)
-                if n_off:
-                    # offloaded chunks keep their meshes (geometry is
-                    # still valid) but lose device residency
-                    pass
+                # meshes of offloaded chunks stay exportable under their
+                # chunk ids (slots get recycled)
+                act_before = set(self.volume.active_slots().tolist())
+                self.streamer.offload_cold(cam_pos)
+                gone = act_before - set(self.volume.active_slots().tolist())
+                if gone:
+                    self.mesher.freeze(np.asarray(sorted(gone)))
 
     def _texture_cycle(self) -> None:
         """Hook for the texture stage (overridden by TexturedPipeline)."""
