@@ -339,14 +339,21 @@ class TSDFVolume:
 
     def gc_new_chunks(self) -> np.ndarray:
         """GC pass over chunks allocated since the last pass — frees
-        slots that never received an observation (frustum-culled
+        slots that never produced an observation entry (frustum-culled
         allocations outside the truncation band; the reference GCs these
-        every integrate, Chisel.h:184-216). Returns freed slots."""
+        every integrate, Chisel.h:184-216). Derives emptiness from the
+        deferred integrate flags instead of a device occupancy probe —
+        zero extra device syncs. Returns freed slots."""
         if not self.new_since_gc:
             return np.zeros(0, np.int64)
-        cand = np.asarray(sorted(self.new_since_gc), np.int64)
+        self.flush_observations()
+        cand = np.asarray(
+            [s for s in sorted(self.new_since_gc)
+             if self.used[s] and not self._observations.get(s)], np.int64)
         self.new_since_gc.clear()
-        return self.garbage_collect(cand)
+        if len(cand):
+            self.release(cand)
+        return cand
 
     def retract_observations(self, keyframe_id: int) -> List[int]:
         """Remove a keyframe's observation-quality entries before
