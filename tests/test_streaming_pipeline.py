@@ -16,7 +16,8 @@ from texturefusion_tpu.io import synthetic
 def test_streaming_bounds_residency():
     base = tiny_test_config()
     cfg = base.replace(tsdf=dataclasses.replace(
-        base.tsdf, max_resident_chunks=160, streaming_radius=1.0))
+        base.tsdf, max_resident_chunks=160, streaming_radius=1.0,
+        keyframe_device_budget_mb=0.05))
     intr = cam.Intrinsics.from_config(cfg.camera)
     scene = synthetic.BoxRoomScene()
     # a wide sweep visiting several wall regions so chunks go cold

@@ -105,6 +105,12 @@ class TSDFConfig:
     # when more than this many slots are resident; 0 disables
     max_resident_chunks: int = 0
     streaming_radius: float = 6.0      # meters: chunks beyond this offload
+    # keyframe-state device budget: stage old keyframes' local depths /
+    # quality / weights out to host once their estimated device footprint
+    # exceeds this many MB (ref: clearRedudentFrameMemory
+    # MobileFusion.cpp:71-90). Offload costs link bandwidth, so it only
+    # runs when needed.
+    keyframe_device_budget_mb: float = 2048.0
 
 
 @dataclasses.dataclass(frozen=True)

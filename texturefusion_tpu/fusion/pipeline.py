@@ -346,8 +346,19 @@ class ReconstructionPipeline:
             freed = self.volume.gc_new_chunks()
             if len(freed):
                 self.mesher.drop(freed)
-            if st is not None and st.integrated:
-                st.release_device_memory()
+            # keyframe memory bound: stage out the OLDEST integrated
+            # keyframes when the device-resident keyframe state exceeds
+            # its budget (offload itself costs link bandwidth)
+            budget = self.config.tsdf.keyframe_device_budget_mb * 2**20
+            resident = [
+                (s, st2) for s, st2 in sorted(self.kf_states.items())
+                if st2.integrated and st2.depth_weight is not None]
+            approx = sum(self._kf_device_bytes(st2) for _, st2 in resident)
+            for s, st2 in resident:
+                if approx <= budget:
+                    break
+                approx -= self._kf_device_bytes(st2)
+                st2.release_device_memory()
             if (self.streamer is not None
                     and self.volume.n_active()
                     > self.config.tsdf.max_resident_chunks):
@@ -359,6 +370,20 @@ class ReconstructionPipeline:
                 gone = act_before - set(self.volume.active_slots().tolist())
                 if gone:
                     self.mesher.freeze(np.asarray(sorted(gone)))
+
+    @staticmethod
+    def _kf_device_bytes(st: KeyframeFusionState) -> int:
+        """Approximate device-resident bytes of a keyframe's stageable
+        state (local depths + quality + refinement weight)."""
+        n = 0
+        for d in st.local_depths:
+            if not isinstance(d, np.ndarray):
+                n += d.size * 4
+        if st.quality is not None and not isinstance(st.quality, np.ndarray):
+            n += st.quality.size * 4
+        if st.depth_weight is not None:
+            n += st.depth_weight.size * 4
+        return n
 
     def _texture_cycle(self) -> None:
         """Hook for the texture stage (overridden by TexturedPipeline)."""
