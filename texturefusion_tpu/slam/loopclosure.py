@@ -87,7 +87,14 @@ def _similarity_kernel(qdesc, qvalid, db_desc, db_valid):
     dmin = jnp.min(d, axis=2).astype(jnp.float32)       # [Q, K]
     sim = jnp.exp(-(dmin * dmin) / 900.0)               # ref LUT exp(−d²/900)
     sim = jnp.where(dmin < 256.0, sim, 0.0)
-    return jnp.sum(sim, axis=0)                          # [K]
+    # IDF weighting (ref: loop_closure_detector.hpp:214-228): a feature
+    # matching MANY keyframes is common texture and carries no place
+    # information — without this, repetitive scenes score uniformly and
+    # true revisits never clear the salient gate
+    n_kf = jnp.maximum(jnp.sum(jnp.any(db_valid, axis=1)), 1)
+    df = jnp.sum(dmin < 50.0, axis=1).astype(jnp.float32)   # [Q]
+    idf = jnp.log(n_kf.astype(jnp.float32) / (1.0 + df) + 1.0)
+    return jnp.sum(sim * idf[:, None], axis=0)               # [K]
 
 
 def select_candidates(sims: np.ndarray,
