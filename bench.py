@@ -36,20 +36,23 @@ def make_frames(config, intr, n_frames):
     from texturefusion_tpu.ops.preprocess import pack_frame
 
     n_out = n_frames // 2 + 1
-    fwd = synthetic.orbit_trajectory(n_out)
+    # wide sweep in a LARGER room: distant keyframes see different walls
+    # (place recognition has contrast); the return revisits the start
+    fwd = synthetic.orbit_trajectory(n_out, radius=1.4, angle_range=3.0)
     poses = fwd + fwd[-2::-1]
     poses = poses[:n_frames]
-    cache = (f"/tmp/tf_bench_oab_{intr.width}x{intr.height}_{n_frames}.npz")
+    cache = (f"/tmp/tf_bench_oab2_{intr.width}x{intr.height}_{n_frames}.npz")
     if os.path.exists(cache):
         data = np.load(cache)
         packed = [data[f"f{i}"] for i in range(n_frames)]
     else:
-        scene = synthetic.BoxRoomScene()
+        scene = synthetic.BoxRoomScene(room_min=(-3.0, -1.5, -3.0),
+                                       room_max=(3.0, 1.5, 3.0))
         depths, rgbs = synthetic.render_sequence(scene, intr, poses)
         rng = np.random.default_rng(3)
         packed = []
         for d, c in zip(depths, rgbs):
-            noise = rng.normal(0.0, 0.004, d.shape).astype(np.float32) \
+            noise = rng.normal(0.0, 0.008, d.shape).astype(np.float32) \
                 * np.maximum(d, 0.5)
             dn = np.where(d > 0, d + noise, 0.0)
             packed.append(pack_frame(

@@ -101,15 +101,31 @@ def select_candidates(sims: np.ndarray,
                       salient_threshold: float = 1.5,
                       max_candidates: int = 5) -> List[int]:
     """Salient-score candidate selection over database rows
-    (ref: GCSLAM.cpp:6-50 + BayesianFilter.hpp:31-91): score =
-    (sim − σ)/μ over the database; keep top-N rows above threshold.
+    (ref: GCSLAM.cpp:6-50 + BayesianFilter.hpp:31-91 EXACTLY): the
+    trailing run of recent above-average rows is excluded from the
+    historical mean/σ (adjacent views are always similar); score =
+    (sim − σ_hist)/μ_hist; keep top-N rows above threshold.
     Returned indices are DB rows; callers map rows → keyframes."""
     n = len(sims)
     if n == 0:
         return []
-    mu = max(float(sims.mean()), 1e-6)
-    sigma = float(sims.std())
-    salient = (sims - sigma) / mu
+    avg = float(sims.mean())
+    history_loop = -1
+    for i in range(n - 1, -1, -1):
+        if sims[i] < avg:
+            history_loop = i
+            break
+    if history_loop <= 0:
+        salient = np.full(n, 3.0)
+    else:
+        hist = np.asarray(sims[:history_loop], np.float64)
+        mean_hist = hist.mean()
+        if mean_hist < 1e-8 or history_loop < 3:
+            salient = np.ones(n)
+        else:
+            delta = np.linalg.norm(hist - mean_hist) \
+                / max(np.sqrt(len(hist) - 1.0), 1.0)
+            salient = (sims - delta) / mean_hist
     cands = [int(i) for i in np.argsort(-sims)
              if salient[i] > salient_threshold]
     return cands[:max_candidates]

@@ -61,6 +61,33 @@ def _db_insert(db: Keypoints, slot: jnp.ndarray, kp: Keypoints) -> Keypoints:
     return jax.tree.map(lambda d, x: d.at[slot].set(x), db, kp)
 
 
+def salient_scores(sims: jnp.ndarray, in_use: jnp.ndarray,
+                   n_rows: jnp.ndarray) -> jnp.ndarray:
+    """EXACT reference salient score (ref: BayesianFilter.hpp:31-91
+    calculateSalientScore): the trailing run of RECENT keyframes whose
+    similarity is ≥ the global average is excluded before computing the
+    historical mean/σ — temporally adjacent views are always similar and
+    would otherwise inflate the normalizer so true loop closures never
+    clear the threshold. salient = (sim − σ_hist)/μ_hist; all-significant
+    degenerates to 3, too-short history to 1."""
+    r_max = sims.shape[0]
+    idxs = jnp.arange(r_max)
+    nr = jnp.maximum(n_rows, 1).astype(jnp.float32)
+    avg = jnp.sum(sims) / nr
+    below = in_use & (sims < avg)
+    # history_loop: last DB row (scanning backward) below the average
+    history_loop = jnp.max(jnp.where(below, idxs, -1))
+    hist = in_use & (idxs < history_loop)
+    n_hist = jnp.sum(hist).astype(jnp.float32)
+    mean_hist = jnp.sum(jnp.where(hist, sims, 0.0)) / jnp.maximum(n_hist, 1.0)
+    var = jnp.sum(jnp.where(hist, (sims - mean_hist) ** 2, 0.0))
+    delta = jnp.sqrt(var) / jnp.maximum(jnp.sqrt(n_hist - 1.0), 1.0)
+    scores = (sims - delta) / jnp.maximum(mean_hist, 1e-8)
+    scores = jnp.where((mean_hist < 1e-8) | (n_hist < 3),
+                       jnp.ones_like(scores), scores)
+    return jnp.where(history_loop <= 0, jnp.full_like(scores, 3.0), scores)
+
+
 class PromoteProbe(NamedTuple):
     cand_slots: jnp.ndarray   # [C] int32 keyframe slots probed
     cand_ok: jnp.ndarray      # [C] bool: candidate admissible & success
@@ -100,12 +127,7 @@ def promote_probe(db_kp: Keypoints,            # stacked by keyframe slot
                               db_desc_valid)                  # [R]
     in_use = jnp.arange(r_max) < n_rows
     sims = jnp.where(in_use, sims, 0.0)
-    nr = jnp.maximum(n_rows, 1).astype(jnp.float32)
-    mu = jnp.maximum(jnp.sum(sims) / nr, 1e-6)
-    sigma = jnp.sqrt(jnp.maximum(
-        jnp.sum(jnp.where(in_use, (sims - jnp.sum(sims) / nr) ** 2, 0.0))
-        / nr, 0.0))
-    salient = (sims - sigma) / mu
+    salient = salient_scores(sims, in_use, n_rows)
     # exclude the last keyframe's own row and unused rows from ranking
     rank_sims = jnp.where(in_use & (row_to_slot != last_slot), sims, -1.0)
     top_sims, top_rows = jax.lax.top_k(rank_sims, n_cand - 1)
