@@ -127,6 +127,10 @@ class TextureConfig:
     (ref: TexMap.{h,cpp}, Atlas.{h,cpp}, Chisel.cpp:149-286)."""
 
     mrf_potts_weight: float = 1.0      # ref: TexMap PairwisePotts(1.0)
+    # per-cycle cap on uv refreshes of merely-remeshed chunks (label
+    # changes and new chunks always process); keeps texture cost flat as
+    # the map grows (ref: TexMap.cpp:257-406 incremental view selection)
+    patch_refresh_budget: int = 768
     mrf_edge_weight: float = 0.5       # ref: TexMap.h:54-55
     mrf_sweeps: int = 12               # ICM sweeps (replaces mapmap tree solves)
     max_labels: int = 16               # per-chunk candidate keyframe labels

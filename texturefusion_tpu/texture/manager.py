@@ -58,6 +58,8 @@ class TextureManager:
             sweeps=self.cfg.mrf_sweeps)
         self.atlas = Atlas(self.cfg, config.tsdf.voxel_resolution)
         self.chunk_tex: Dict[int, ChunkTexture] = {}
+        self._refresh_age: Dict[int, int] = {}   # slot -> last refresh cycle
+        self._cycle_counter = 0
 
     # ------------------------------------------------------------- cycle
 
@@ -73,15 +75,29 @@ class TextureManager:
             labels = self.selector.select(volume.observations, adjacency,
                                           volume.ids, newest_kf)
 
-        # chunks needing patch regeneration: label changed or remeshed
-        todo = []   # (slot, kf)
+        # chunks needing patch regeneration: label changed or remeshed.
+        # Urgent work (no patch yet / label changed) always runs; uv
+        # refreshes of merely-remeshed chunks are budgeted per cycle with
+        # round-robin catch-up, keeping texture cost flat as the map
+        # grows (ref TexMap.cpp:257-406 runs an incremental variant for
+        # the same reason).
+        urgent, refresh = [], []
         for slot, kf in labels.items():
             if kf not in kf_states:
                 continue
             tex = self.chunk_tex.get(slot)
-            if (tex is None or tex.label != kf
-                    or (remeshed is not None and slot in remeshed)):
-                todo.append((slot, kf))
+            if tex is None or tex.label != kf:
+                urgent.append((slot, kf))
+            elif remeshed is not None and slot in remeshed:
+                refresh.append((slot, kf))
+        budget = max(self.cfg.patch_refresh_budget - len(urgent), 0)
+        if len(refresh) > budget:
+            refresh.sort(key=lambda sk: self._refresh_age.get(sk[0], -1))
+            refresh = refresh[:budget]
+        todo = urgent + refresh
+        self._cycle_counter += 1
+        for slot, _ in todo:
+            self._refresh_age[slot] = self._cycle_counter
 
         with STOPWATCH.time("tex_patches"):
             self._generate_patches_multi(todo, mesher, kf_states, volume)
