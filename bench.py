@@ -36,18 +36,19 @@ def make_frames(config, intr, n_frames):
     from texturefusion_tpu.ops.preprocess import pack_frame
 
     n_out = n_frames // 2 + 1
-    # wide sweep in a LARGER room: distant keyframes see different walls
-    # (place recognition has contrast); the return revisits the start
-    fwd = synthetic.orbit_trajectory(n_out, radius=1.4, angle_range=3.0)
+    # out-and-back sweep at the reference's operating scale (a room the
+    # size of its xtion/synthesis scenes); the return leg revisits the
+    # outbound map with accumulated sensor noise so BA corrections and
+    # drift-scheduled reintegration have something to do
+    fwd = synthetic.orbit_trajectory(n_out, radius=1.0, angle_range=2.2)
     poses = fwd + fwd[-2::-1]
     poses = poses[:n_frames]
-    cache = (f"/tmp/tf_bench_oab2_{intr.width}x{intr.height}_{n_frames}.npz")
+    cache = (f"/tmp/tf_bench_oab4_{intr.width}x{intr.height}_{n_frames}.npz")
     if os.path.exists(cache):
         data = np.load(cache)
         packed = [data[f"f{i}"] for i in range(n_frames)]
     else:
-        scene = synthetic.BoxRoomScene(room_min=(-3.0, -1.5, -3.0),
-                                       room_max=(3.0, 1.5, 3.0))
+        scene = synthetic.BoxRoomScene()
         depths, rgbs = synthetic.render_sequence(scene, intr, poses)
         rng = np.random.default_rng(3)
         packed = []
@@ -99,7 +100,7 @@ def main():
         parallel=ParallelConfig(async_fusion=True),
     )
     intr = cam.Intrinsics.from_config(config.camera)
-    n_frames = 60
+    n_frames = 80
     n_warm = 16
     packed, gt_poses = make_frames(config, intr, n_frames)
 

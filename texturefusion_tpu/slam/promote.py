@@ -131,10 +131,10 @@ def promote_probe(db_kp: Keypoints,            # stacked by keyframe slot
     # exclude the last keyframe's own row and unused rows from ranking
     rank_sims = jnp.where(in_use & (row_to_slot != last_slot), sims, -1.0)
     top_sims, top_rows = jax.lax.top_k(rank_sims, n_cand - 1)
-    cand_rows_ok = (top_sims > 0.0) & (salient[top_rows] > salient_threshold)
+    exists = top_sims > 0.0
+    salient_ok = salient[top_rows] > salient_threshold
     cand_slots = jnp.concatenate([last_slot[None],
                                   row_to_slot[top_rows]])    # [C]
-    admissible = jnp.concatenate([jnp.asarray([True]), cand_rows_ok])
 
     kp_c = jax.tree.map(lambda a: a[cand_slots], db_kp)      # [C, ...]
     keys = jax.random.split(key, n_cand)
@@ -147,6 +147,16 @@ def promote_probe(db_kp: Keypoints,            # stacked by keyframe slot
     # (the frame step already registered vs the last keyframe)
     stats = res.stats
     stats = stats.at[0].set(jnp.where(have_tracked, tracked_stats, stats[0]))
+    # admission: the salient gate (ref semantics) OR overwhelming
+    # geometric verification. The reference prunes by salience because
+    # per-candidate registration is expensive on its CPU thread
+    # (GCSLAM.cpp:27-29); here all candidates registered in this same
+    # fixed-shape dispatch anyway, so a registration with a 3× inlier
+    # margin is accepted even when the similarity statistics are flat
+    # (small overlapping scenes).
+    strong = stats[:, 1] >= 3.0 * cfg.min_matches
+    admissible = jnp.concatenate([jnp.asarray([True]),
+                                  exists & (salient_ok | strong[1:])])
     ok = admissible & (stats[:, 0] > 0.5)
 
     # Huber edge pre-integration per candidate from the (possibly
