@@ -35,25 +35,24 @@ def make_frames(config, intr, n_frames):
     from texturefusion_tpu.io import synthetic
     from texturefusion_tpu.ops.preprocess import pack_frame
 
-    n_out = n_frames // 2 + 1
-    # out-and-back sweep at the reference's operating scale (a room the
-    # size of its xtion/synthesis scenes); the return leg revisits the
-    # outbound map with accumulated sensor noise so BA corrections and
-    # drift-scheduled reintegration have something to do
-    fwd = synthetic.orbit_trajectory(n_out, radius=1.0, angle_range=2.2)
-    poses = fwd + fwd[-2::-1]
-    poses = poses[:n_frames]
-    cache = (f"/tmp/tf_bench_oab4_{intr.width}x{intr.height}_{n_frames}.npz")
+    # a full 360° loop in a mid-size room, camera looking outward at the
+    # walls: mid-loop keyframes share no view with the start, odometry
+    # drift accumulates, and the detected closure at the end forces BA
+    # corrections → drift-scheduled reintegration fires
+    # (ref scheduling: MobileFusion.cpp:289-315, MapMaintain.hpp:175-258)
+    poses = synthetic.loop_trajectory(n_frames, radius=1.5)
+    cache = (f"/tmp/tf_bench_loop_{intr.width}x{intr.height}_{n_frames}.npz")
     if os.path.exists(cache):
         data = np.load(cache)
         packed = [data[f"f{i}"] for i in range(n_frames)]
     else:
-        scene = synthetic.BoxRoomScene()
+        scene = synthetic.BoxRoomScene(room_min=(-2.6, -1.5, -2.6),
+                                       room_max=(2.6, 1.5, 2.6))
         depths, rgbs = synthetic.render_sequence(scene, intr, poses)
         rng = np.random.default_rng(3)
         packed = []
         for d, c in zip(depths, rgbs):
-            noise = rng.normal(0.0, 0.008, d.shape).astype(np.float32) \
+            noise = rng.normal(0.0, 0.012, d.shape).astype(np.float32) \
                 * np.maximum(d, 0.5)
             dn = np.where(d > 0, d + noise, 0.0)
             packed.append(pack_frame(
@@ -100,8 +99,8 @@ def main():
         parallel=ParallelConfig(async_fusion=True),
     )
     intr = cam.Intrinsics.from_config(config.camera)
-    n_frames = 80
-    n_warm = 16
+    n_frames = 120
+    n_warm = 20
     packed, gt_poses = make_frames(config, intr, n_frames)
 
     # warmup pass: play the WHOLE sequence once through a throwaway

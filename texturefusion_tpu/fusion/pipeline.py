@@ -399,6 +399,10 @@ class ReconstructionPipeline:
         integrated = np.stack([self.kf_states[s].integrated_pose for s in slots])
         costs = dynamics.pose_drift_costs(current, integrated)
         picked = dynamics.select_keyframes_to_update(costs, max_updates)
+        import os
+        if os.environ.get("TF_DEBUG_DRIFT"):
+            print(f"[DRIFT] max_cost={costs.max():.2e} "
+                  f"mean={costs.mean():.2e} picked={picked}")
         for i in picked:
             st = self.kf_states[slots[i]]
             self.volume.retract_observations(st.kf_slot)

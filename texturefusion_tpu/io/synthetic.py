@@ -145,6 +145,33 @@ def orbit_trajectory(n_frames: int, radius: float = 0.8,
     return poses
 
 
+def loop_trajectory(n_frames: int, radius: float = 1.6,
+                    center: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+                    revolutions: float = 1.05) -> List[np.ndarray]:
+    """A closed 360° loop inside the room: the camera rides a circle
+    looking radially OUTWARD at the nearby walls. Mid-loop views share
+    nothing with the start, so odometry drift accumulates until the loop
+    closes — the classic loop-closure / reintegration scenario."""
+    poses = []
+    up_hint = np.asarray([0.0, -1.0, 0.0])
+    for i in range(n_frames):
+        a = 2.0 * np.pi * revolutions * i / max(n_frames - 1, 1)
+        eye = np.asarray(center) + np.asarray(
+            [radius * np.sin(a), 0.05 * np.sin(3 * a), radius * np.cos(a)])
+        outward = np.asarray([np.sin(a), 0.0, np.cos(a)])
+        z_axis = outward / np.linalg.norm(outward)
+        x_axis = np.cross(up_hint, z_axis)
+        x_axis = x_axis / np.linalg.norm(x_axis)
+        y_axis = np.cross(z_axis, x_axis)
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 0] = x_axis
+        pose[:3, 1] = y_axis
+        pose[:3, 2] = z_axis
+        pose[:3, 3] = eye
+        poses.append(pose)
+    return poses
+
+
 def render_sequence(scene: BoxRoomScene, intr: cam.Intrinsics,
                     poses: List[np.ndarray], depth_noise: float = 0.0):
     """Render a full sequence; returns (depths[N,H,W], rgbs[N,H,W,3]) numpy."""
