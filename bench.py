@@ -41,7 +41,7 @@ def make_frames(config, intr, n_frames):
     # corrections → drift-scheduled reintegration fires
     # (ref scheduling: MobileFusion.cpp:289-315, MapMaintain.hpp:175-258)
     poses = synthetic.loop_trajectory(n_frames, radius=1.5)
-    cache = (f"/tmp/tf_bench_loop_{intr.width}x{intr.height}_{n_frames}.npz")
+    cache = (f"/tmp/tf_bench_loop2_{intr.width}x{intr.height}_{n_frames}.npz")
     if os.path.exists(cache):
         data = np.load(cache)
         packed = [data[f"f{i}"] for i in range(n_frames)]
@@ -52,7 +52,7 @@ def make_frames(config, intr, n_frames):
         rng = np.random.default_rng(3)
         packed = []
         for d, c in zip(depths, rgbs):
-            noise = rng.normal(0.0, 0.012, d.shape).astype(np.float32) \
+            noise = rng.normal(0.0, 0.016, d.shape).astype(np.float32) \
                 * np.maximum(d, 0.5)
             dn = np.where(d > 0, d + noise, 0.0)
             packed.append(pack_frame(

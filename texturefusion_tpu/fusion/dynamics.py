@@ -81,8 +81,14 @@ def select_keyframes_to_update(costs: np.ndarray, max_updates: int = 4,
             break
         if suppressed[i] or smoothed[i] <= threshold:
             continue
-        picked.append(int(i))
+        # the smoothed peak can sit on a NEIGHBOR of the drifted keyframe
+        # (the raw peak leaks into adjacent windows); reintegrate the raw
+        # argmax within the window or the drift never clears
         lo = max(0, i - 1)
         hi = min(k, i + 2)
+        j = lo + int(np.argmax(costs[lo:hi]))
+        if j not in picked:
+            picked.append(j)
         suppressed[lo:hi] = True
+        suppressed[max(0, j - 1):min(k, j + 2)] = True
     return picked
