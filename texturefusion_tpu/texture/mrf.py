@@ -95,16 +95,13 @@ class ViewSelector:
         self.sweeps = sweeps
         self.labels: dict = {}     # slot -> chosen keyframe id (persistent)
 
-    def select(self, observations: dict, adjacency: dict, chunk_ids: np.ndarray,
-               newest_kf: int) -> dict:
-        """observations: slot → {kf: quality}; adjacency: slot → np[slots];
-        chunk_ids: [capacity, 3] integer chunk coords (for parity).
-        Returns slot → keyframe id. Chunks with no positive-quality
-        observation fall back to the second-newest keyframe
-        (ref: TexMap.cpp:228-246 label-0 handling)."""
+    def build_problem(self, observations: dict, adjacency: dict,
+                      chunk_ids: np.ndarray, newest_kf: int):
+        """Host-side MRF assembly shared by select() and the fused
+        texture-cycle program. Returns (problem, slots, label_kf_np)."""
         slots = sorted(adjacency.keys())
         if not slots:
-            return {}
+            return None, [], None
         # pad node count to a bucket so the jitted solver compiles once
         # per size class, not per call
         n_real = len(slots)
@@ -154,8 +151,13 @@ class ViewSelector:
             unary=jnp.asarray(unary), label_kf=jnp.asarray(label_kf),
             neighbors=jnp.asarray(nbrs), parity=jnp.asarray(parity),
             init_label=jnp.asarray(init), n_valid=jnp.asarray(valid))
-        sol = np.asarray(solve_icm(problem, self.potts, self.edge_w,
-                                   self.sweeps))
+        return problem, slots, label_kf
+
+    def adopt_solution(self, slots, label_kf: np.ndarray,
+                       sol: np.ndarray, newest_kf: int) -> dict:
+        """Convert solved label slots to keyframe ids + persist warm
+        start (ref: TexMap labelstorage + label-0 fallback)."""
+        fallback_kf = max(newest_kf - 1, 0)
         out = {}
         for i, s in enumerate(slots):
             kf = int(label_kf[i, sol[i]])
@@ -164,3 +166,18 @@ class ViewSelector:
             out[s] = kf
             self.labels[s] = kf
         return out
+
+    def select(self, observations: dict, adjacency: dict, chunk_ids: np.ndarray,
+               newest_kf: int) -> dict:
+        """observations: slot → {kf: quality}; adjacency: slot → np[slots];
+        chunk_ids: [capacity, 3] integer chunk coords (for parity).
+        Returns slot → keyframe id. Chunks with no positive-quality
+        observation fall back to the second-newest keyframe
+        (ref: TexMap.cpp:228-246 label-0 handling)."""
+        problem, slots, label_kf = self.build_problem(
+            observations, adjacency, chunk_ids, newest_kf)
+        if problem is None:
+            return {}
+        sol = np.asarray(solve_icm(problem, self.potts, self.edge_w,
+                                   self.sweeps))
+        return self.adopt_solution(slots, label_kf, sol, newest_kf)

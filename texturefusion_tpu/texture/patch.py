@@ -80,6 +80,100 @@ def _patch_from_cam(pts_cam, vert_valid, vert_color, kf_rgb, kf_depth,
                       wrong_mapping=wrong, tex_color=tex)
 
 
+class TextureCycleOut(NamedTuple):
+    """Single-fetch outputs of the fused texture-cycle program."""
+
+    labels: jnp.ndarray      # [N] int32 solved label slot per node
+    kf_id: jnp.ndarray       # [N] int32 selected keyframe (-1 invalid)
+    uv16: jnp.ndarray        # [N, P, 2] uint16 pixel coords ×16 fixed point
+    uv_valid: jnp.ndarray    # [N, P] bool
+    bbox_min: jnp.ndarray    # [N, 2]
+    bbox_max: jnp.ndarray    # [N, 2]
+    wrong: jnp.ndarray       # [N] bool
+    t_mats: jnp.ndarray      # [K, 3, 3] per-keyframe color transfer
+    mean_t: jnp.ndarray      # [K, 3]
+    mean_v: jnp.ndarray      # [K, 3]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("intr", "cfg", "sweeps"))
+def texture_cycle_program(
+    problem,                   # mrf.MRFProblem, node i ↔ chunk row i
+    verts: jnp.ndarray,        # [N, P, 3]
+    vert_valid: jnp.ndarray,   # [N, P]
+    vert_color: jnp.ndarray,   # [N, P, 3] fused voxel colors
+    kf_poses: jnp.ndarray,     # [K, 4, 4] (slot-indexed)
+    kf_rgbs: jnp.ndarray,      # [K, H, W, 3] uint8
+    kf_depths: jnp.ndarray,    # [K, H, W]
+    intr: cam.Intrinsics,
+    cfg: TextureConfig,
+    sweeps: int,
+) -> TextureCycleOut:
+    """The ENTIRE texture stage of the map cycle as ONE program:
+    MRF view-selection ICM sweeps → per-chunk projection into the chosen
+    keyframe → wrong-mapping veto → global color compensation — one
+    dispatch, one small fetch. The reference runs these as four CPU
+    passes (ref: MobileFusion.cpp:356-384); on a tunneled accelerator
+    each separate pass costs a ~24 ms dispatch→sync roundtrip."""
+    from texturefusion_tpu.texture import color as color_ops
+    from texturefusion_tpu.texture import mrf as mrf_ops
+
+    n, p = vert_valid.shape
+    k = kf_poses.shape[0]
+    labels = mrf_ops.solve_icm(problem, cfg.mrf_potts_weight,
+                               cfg.mrf_edge_weight, sweeps=sweeps)
+    kf_id = jnp.take_along_axis(problem.label_kf, labels[:, None],
+                                axis=1)[:, 0]                 # [N]
+    row = jnp.clip(kf_id, 0, k - 1)
+
+    rgbs = kf_rgbs.astype(jnp.float32) / 255.0 \
+        if kf_rgbs.dtype == jnp.uint8 else kf_rgbs
+    w2c = se3.inverse(kf_poses)[row]                          # [N, 4, 4]
+    pts_cam = jnp.einsum("uij,upj->upi", w2c[:, :3, :3], verts) \
+        + w2c[:, None, :3, 3]
+    uv, z = cam.project(intr, pts_cam)
+    ok = vert_valid & cam.in_image(intr, uv, margin=1.0) & (z > intr.near) \
+        & (kf_id >= 0)[:, None]
+
+    tex = _bilinear_multi(rgbs, row, uv)                      # [N, P, 3]
+    d_kf = _bilinear_multi(kf_depths, row, uv)
+
+    color_bad = jnp.max(jnp.abs(tex - vert_color), axis=-1) \
+        > cfg.wrong_mapping_color
+    depth_bad = jnp.abs(d_kf - z) > cfg.wrong_mapping_depth
+    occluded = (d_kf > intr.near) & (z > d_kf + 0.05)
+    bad = ok & (color_bad | depth_bad | occluded)
+    n_ok = jnp.maximum(jnp.sum(ok, axis=1), 1)
+    wrong = (jnp.sum(bad, axis=1) / n_ok) > cfg.wrong_mapping_frac
+    wrong = wrong | (jnp.sum(ok, axis=1) == 0)
+
+    big = 1e9
+    uv_m = jnp.where(ok[..., None], uv, big)
+    bbox_min = jnp.floor(jnp.min(uv_m, axis=1) - 1.0)
+    uv_m = jnp.where(ok[..., None], uv, -big)
+    bbox_max = jnp.ceil(jnp.max(uv_m, axis=1) + 1.0)
+    lim = jnp.asarray([intr.width - 1, intr.height - 1])
+    bbox_min = jnp.clip(bbox_min, 0, lim)
+    bbox_max = jnp.clip(bbox_max, 0, lim)
+
+    # global color compensation over all patched vertices, clustered by
+    # keyframe (ref: Chisel.cpp:198-286) — transfer matrices only; the
+    # per-vertex deltas are derivable on demand and never cross the link
+    w_flat = (ok & ~wrong[:, None]).astype(jnp.float32).reshape(-1)
+    cl_flat = jnp.broadcast_to(row[:, None], (n, p)).reshape(-1)
+    tex_flat = tex.reshape(-1, 3)
+    vox_flat = vert_color.reshape(-1, 3)
+    mean_t, cov_t = color_ops.cluster_stats(tex_flat, w_flat, cl_flat, k)
+    mean_v, cov_v = color_ops.cluster_stats(vox_flat, w_flat, cl_flat, k)
+    t_mats = color_ops.transfer_matrices(mean_t, cov_t, mean_v, cov_v)
+
+    uv16 = jnp.clip(uv * 16.0, 0, 65535).astype(jnp.uint16)
+    return TextureCycleOut(labels=labels, kf_id=kf_id, uv16=uv16,
+                           uv_valid=ok, bbox_min=bbox_min,
+                           bbox_max=bbox_max, wrong=wrong,
+                           t_mats=t_mats, mean_t=mean_t, mean_v=mean_v)
+
+
 def _bilinear_multi(imgs: jnp.ndarray, row: jnp.ndarray, uv: jnp.ndarray):
     """Bilinear sample per-chunk SOURCE images: imgs [L, H, W(, C)],
     row [U] image index per chunk, uv [U, P, 2]. Returns [U, P(, C)]."""
