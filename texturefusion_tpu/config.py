@@ -119,6 +119,11 @@ class MeshConfig:
 
     max_mesh_chunks: int = 2048        # static per-cycle remesh budget
     vertex_budget: int = 30_000_000    # ref: MobileFusion.h:32-33
+    # device-resident mesh pool: per-chunk capacities (meshes live on
+    # device between cycles; host fetches only at export). Overflowing
+    # chunks clamp with a warning (8³ chunks rarely exceed ~120 verts)
+    pool_verts_per_chunk: int = 256
+    pool_tris_per_chunk: int = 384
 
 
 @dataclasses.dataclass(frozen=True)

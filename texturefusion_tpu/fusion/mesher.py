@@ -1,13 +1,19 @@
 """Incremental meshing orchestration over the chunked TSDF volume.
 
 Replaces ChunkManager::RecomputeMeshes' parallel_for over dirty chunks
-(ref: Structure/ChunkManager.cpp:232-264) with batched device meshing +
-host-side per-chunk mesh cache. Only chunks marked dirty by integration
-are remeshed each cycle (incremental marching cubes).
+(ref: Structure/ChunkManager.cpp:232-264) with batched device meshing into
+a DEVICE-RESIDENT mesh pool (ops/marching_cubes.py MeshPool): only chunks
+marked dirty by integration are remeshed each cycle, their meshes stay on
+device for the texture stage to gather, and the host fetches mesh data
+only on demand (export, freeze). The reference reads its meshes from CPU
+memory for free; on a tunneled accelerator the per-cycle mesh round-trip
+costs more than the meshing itself, so residency is the design point.
 """
 
 from __future__ import annotations
 
+import functools
+import warnings
 from typing import Dict, Tuple
 
 import jax
@@ -22,20 +28,22 @@ from texturefusion_tpu.ops import marching_cubes as mc
 class IncrementalMesher:
     def __init__(self, volume: TSDFVolume):
         self.volume = volume
-        # slot -> (verts, faces, colors, normals) in world space
-        self.meshes: Dict[int, Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
+        cfg = volume.config.mesh
+        cap = volume.cfg.capacity
+        self.p_cap = cfg.pool_verts_per_chunk
+        self.t_cap = cfg.pool_tris_per_chunk
+        self.pool = mc.make_mesh_pool(cap, self.p_cap, self.t_cap)
+        self.vcount = np.zeros(cap + 1, np.int32)   # host mirror
+        self.tcount = np.zeros(cap + 1, np.int32)
         # chunk-id -> mesh of an OFFLOADED chunk (streaming): its slot was
         # recycled but the surface still exists and must export
         self.frozen: Dict[Tuple[int, int, int], tuple] = {}
         self.last_remeshed: set = set()
+        self._host_cache: Dict[int, tuple] = {}
+        self._cache_valid = False
+        self._warned_overflow = False
 
-    def freeze(self, slots) -> None:
-        """Move offloaded chunks' meshes to chunk-id keys (their slots
-        are being recycled by the streamer)."""
-        for s in np.atleast_1d(slots).tolist():
-            m = self.meshes.pop(int(s), None)
-            if m is not None:
-                self.frozen[tuple(self.volume.ids[int(s)].tolist())] = m
+    # ------------------------------------------------------------- remesh
 
     def _neighbor_slots(self, slots: np.ndarray) -> np.ndarray:
         """[U, 8] slot of self + 7 positive-corner neighbors (trash if absent)
@@ -53,8 +61,8 @@ class IncrementalMesher:
         return out
 
     def update_meshes(self, max_chunks: int = 0) -> int:
-        """Remesh all dirty chunks. Returns number remeshed
-        (ref: Chisel.h:479-481 UpdateMeshes)."""
+        """Remesh all dirty chunks into the device pool. Returns number
+        remeshed (ref: Chisel.h:479-481 UpdateMeshes)."""
         vol = self.volume
         dirty = sorted(vol.dirty_mesh)
         if max_chunks:
@@ -64,95 +72,101 @@ class IncrementalMesher:
             return 0
         budget = self.volume.config.mesh.max_mesh_chunks
         for start in range(0, len(dirty), budget):
-            part = np.asarray(dirty[start:start + budget], np.int64)
-            self._remesh(part)
+            self._remesh(np.asarray(dirty[start:start + budget], np.int64))
         for s in dirty:
             vol.dirty_mesh.discard(s)
+        self._cache_valid = False
         return len(dirty)
-
-    # per-dispatch compaction capacities; escalated (recompile) on overflow.
-    # Compaction cost scales with these (searchsorted queries), so they
-    # start near the realistic per-batch surface size, not the worst case.
-    _vert_cap = 1 << 15
-    _tri_cap = 1 << 16
-
-    @staticmethod
-    def _bucket(n: int, cap: int) -> int:
-        b = 1024
-        while b < n:
-            b *= 2
-        return min(b, cap)
-
-    @classmethod
-    def _fetch_prefix2(cls, a: jnp.ndarray, na: int, b: jnp.ndarray, nb: int
-                       ) -> Tuple[np.ndarray, np.ndarray]:
-        """Fetch a[:na], b[:nb] in ONE parallel device_get with bucketed
-        static slice sizes (the link is ~35 MB/s and each roundtrip costs
-        ~20 ms — transfer bytes, not padded capacity, and batch fetches)."""
-        ba = cls._bucket(max(na, 1), a.shape[0])
-        bb = cls._bucket(max(nb, 1), b.shape[0])
-        av, bv = jax.device_get((a[:ba], b[:bb]))
-        return av[:na], bv[:nb]
 
     def _remesh(self, slots: np.ndarray) -> None:
         vol = self.volume
         nbr = self._neighbor_slots(slots)
         origins = vol.ids[slots].astype(np.float32) * vol.extent
-        # pad the batch to a size bucket so the mesher compiles once per
-        # size class instead of once per distinct dirty-chunk count
         n_real = len(slots)
         bucket = 32
         while bucket < n_real:
             bucket *= 2
         pad = bucket - n_real
         trash = vol.cfg.capacity
+        slots_p = np.concatenate([slots, np.full(pad, trash, np.int64)])
         nbr_p = np.concatenate([nbr, np.full((pad, 8), trash, np.int64)])
         origins_p = np.concatenate([origins, np.zeros((pad, 3), np.float32)])
         active = jnp.asarray(np.arange(bucket) < n_real)
-        nbr_j = jnp.asarray(nbr_p)
-        origins_j = jnp.asarray(origins_p)
-        while True:
-            flat = mc.mesh_chunks_compact(
-                vol.batch.sdf, vol.batch.weight, vol.batch.color,
-                vol.batch.color_count, nbr_j, origins_j, active,
-                vol.cfg.chunk_size, vol.cfg.voxel_resolution,
-                self._vert_cap, self._tri_cap)
-            vcount, tcount = jax.device_get((flat.vcount, flat.tcount))
-            tv, tt = int(vcount.sum()), int(tcount.sum())
-            if tv <= self._vert_cap and tt <= self._tri_cap:
-                break
-            # capacity overflow → escalate (rare; recompiles once)
-            while tv > IncrementalMesher._vert_cap:
-                IncrementalMesher._vert_cap *= 2
-            while tt > IncrementalMesher._tri_cap:
-                IncrementalMesher._tri_cap *= 2
-        rec, tris = self._fetch_prefix2(flat.vert_rec, tv,
-                                        flat.triangles, tt)
-        pos, col, nrm = mc.unpack_vert_records(rec)
-        voff = np.concatenate([[0], np.cumsum(vcount)]).astype(np.int64)
-        toff = np.concatenate([[0], np.cumsum(tcount)]).astype(np.int64)
-        for u, slot in enumerate(slots.tolist()):
-            nt = int(tcount[u])
+        self.pool, vcount, tcount = mc.mesh_chunks_pooled(
+            self.pool, vol.batch.sdf, vol.batch.weight, vol.batch.color,
+            vol.batch.color_count, jnp.asarray(slots_p), jnp.asarray(nbr_p),
+            jnp.asarray(origins_p), active,
+            vol.cfg.chunk_size, vol.cfg.voxel_resolution)
+        vc, tc = jax.device_get((vcount, tcount))
+        self.vcount[slots] = vc[:n_real]
+        self.tcount[slots] = tc[:n_real]
+        if not self._warned_overflow and (
+                (vc[:n_real] >= self.p_cap).any()
+                or (tc[:n_real] >= self.t_cap).any()):
+            self._warned_overflow = True
+            warnings.warn("mesh pool per-chunk capacity clamped a chunk; "
+                          "raise MeshConfig.pool_verts_per_chunk")
+
+    # ------------------------------------------------------------- host views
+
+    def _fetch_rows(self, slots: np.ndarray) -> Dict[int, tuple]:
+        """Fetch pool rows for `slots` → {slot: (verts, faces, colors,
+        normals)} host arrays (export/freeze path)."""
+        out: Dict[int, tuple] = {}
+        todo = [int(s) for s in np.atleast_1d(slots).tolist()
+                if self.tcount[int(s)] > 0]
+        if not todo:
+            return out
+        b = 32
+        while b < len(todo):
+            b *= 2
+        padded = np.asarray(todo + [todo[0]] * (b - len(todo)), np.int64)
+        v, cp, npk, tr, vc, tc = jax.device_get(
+            mc.gather_pool_rows(self.pool, jnp.asarray(padded)))
+        for i, s in enumerate(todo):
+            nv, nt = int(vc[i]), int(tc[i])
             if nt == 0:
-                self.meshes.pop(slot, None)
                 continue
-            nv = int(vcount[u])
-            self.meshes[slot] = (pos[voff[u]:voff[u] + nv],
-                                 tris[toff[u]:toff[u] + nt].astype(np.int32),
-                                 col[voff[u]:voff[u] + nv],
-                                 nrm[voff[u]:voff[u] + nv])
+            col = mc.unpack_u32_channels(cp[i, :nv]) / 255.0
+            nrm = (mc.unpack_u32_channels(npk[i, :nv]) - 127.0) / 127.0
+            out[s] = (v[i, :nv], tr[i, :nt].astype(np.int32), col, nrm)
+        return out
+
+    @property
+    def meshes(self) -> Dict[int, tuple]:
+        """Host view of all chunk meshes, fetched lazily from the device
+        pool and cached until the next remesh."""
+        if not self._cache_valid:
+            slots = np.nonzero(self.tcount[:-1] > 0)[0]
+            self._host_cache = self._fetch_rows(slots)
+            self._cache_valid = True
+        return self._host_cache
+
+    def freeze(self, slots) -> None:
+        """Move offloaded chunks' meshes to chunk-id keys (their slots
+        are being recycled by the streamer)."""
+        rows = self._fetch_rows(np.atleast_1d(slots))
+        for s, m in rows.items():
+            self.frozen[tuple(self.volume.ids[s].tolist())] = m
+        self.drop(np.atleast_1d(slots))
 
     def drop(self, slots) -> None:
-        for s in np.atleast_1d(slots).tolist():
-            self.meshes.pop(int(s), None)
+        slots = np.atleast_1d(slots).astype(np.int64)
+        if len(slots) == 0:
+            return
+        self.vcount[slots] = 0
+        self.tcount[slots] = 0
+        self.pool = _zero_counts(self.pool, jnp.asarray(slots))
+        self._cache_valid = False
 
     def full_mesh(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """Concatenate all chunk meshes (resident + offloaded-frozen):
         (verts, faces, colors, normals)."""
         vs, fs, cs, ns = [], [], [], []
         base = 0
-        for slot in sorted(self.meshes):
-            v, f, c, n = self.meshes[slot]
+        meshes = self.meshes
+        for slot in sorted(meshes):
+            v, f, c, n = meshes[slot]
             vs.append(v)
             fs.append(f + base)
             cs.append(c)
@@ -178,13 +192,21 @@ class IncrementalMesher:
         MRF chunk graph, ref: TexMap.cpp:50-61 update_chunkgraph)."""
         vol = self.volume
         nbrs = geometry.neighbor_offsets_6()
+        meshed = np.nonzero(self.tcount[:-1] > 0)[0]
+        meshed_set = set(meshed.tolist())
         out = {}
-        for slot in self.meshes:
+        for slot in meshed.tolist():
             cid = vol.ids[slot]
             adj = []
             for off in nbrs:
                 s = vol.slot_of.get(tuple((cid + off).tolist()))
-                if s is not None and s in self.meshes:
+                if s is not None and s in meshed_set:
                     adj.append(s)
             out[slot] = np.asarray(adj, np.int64)
         return out
+
+
+@functools.partial(jax.jit, donate_argnames=("pool",))
+def _zero_counts(pool: mc.MeshPool, slots: jnp.ndarray) -> mc.MeshPool:
+    return pool._replace(vcount=pool.vcount.at[slots].set(0),
+                         tcount=pool.tcount.at[slots].set(0))

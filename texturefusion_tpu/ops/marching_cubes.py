@@ -419,6 +419,123 @@ def mesh_chunks_compact(
     return CompactMesh(vert_rec, tris, vcount, tcount)
 
 
+class MeshPool(NamedTuple):
+    """Device-resident per-chunk mesh pool (slot-indexed, +1 trash row).
+
+    Meshes stay on device across cycles: the texture stage gathers
+    vertex rows directly and the host fetches only at export — the
+    per-cycle device→host→device mesh round-trip this replaces cost more
+    than the meshing itself on a tunneled link."""
+
+    verts: jnp.ndarray       # [S+1, P, 3] f32 world-space
+    col_packed: jnp.ndarray  # [S+1, P] uint32 3×u8 channels
+    nrm_packed: jnp.ndarray  # [S+1, P] uint32 3×(int8+127)
+    tris: jnp.ndarray        # [S+1, T, 3] int32 chunk-local vertex ids
+    vcount: jnp.ndarray      # [S+1] int32
+    tcount: jnp.ndarray      # [S+1] int32
+
+
+def make_mesh_pool(capacity: int, p: int, t: int) -> MeshPool:
+    return MeshPool(
+        verts=jnp.zeros((capacity + 1, p, 3), jnp.float32),
+        col_packed=jnp.zeros((capacity + 1, p), jnp.uint32),
+        nrm_packed=jnp.zeros((capacity + 1, p), jnp.uint32),
+        tris=jnp.zeros((capacity + 1, t, 3), jnp.int32),
+        vcount=jnp.zeros(capacity + 1, jnp.int32),
+        tcount=jnp.zeros(capacity + 1, jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("chunk_size", "resolution"),
+                   donate_argnames=("pool",))
+def mesh_chunks_pooled(
+    pool: MeshPool,            # DONATED device mesh pool
+    sdf: jnp.ndarray,          # [S, V] full slot arrays
+    weight: jnp.ndarray,
+    color: jnp.ndarray,
+    color_count: jnp.ndarray,
+    slots: jnp.ndarray,        # [U] chunk slots being remeshed
+    nbr_slots: jnp.ndarray,    # [U, 8] slot of self+7 neighbors
+    origins: jnp.ndarray,      # [U, 3]
+    active: jnp.ndarray,       # [U]
+    chunk_size: int,
+    resolution: float,
+) -> Tuple[MeshPool, jnp.ndarray, jnp.ndarray]:
+    """Marching cubes + per-chunk compaction scattered straight into the
+    device mesh pool. Returns (pool, vcount[U], tcount[U]); counts clamp
+    at the pool's per-chunk capacity."""
+    p_cap = pool.verts.shape[1]
+    t_cap = pool.tris.shape[1]
+    mesh = mesh_chunks(sdf, weight, color, color_count, slots, nbr_slots,
+                       origins, chunk_size, resolution)
+    U, E = mesh.vert_valid.shape
+    val = mesh.vert_valid & active[:, None]
+    vali = val.astype(jnp.int32)
+    cum = jnp.cumsum(vali, axis=1)                 # [U, E] inclusive
+    vidx = cum - vali                              # local compact index
+    vcount = jnp.minimum(cum[:, -1], p_cap)
+
+    # per-row compaction via row-wise binary search (gathers only)
+    targets = jnp.arange(p_cap) + 1
+    src = jax.vmap(lambda c: jnp.searchsorted(c, targets))(cum)   # [U, P]
+    src = jnp.minimum(src, E - 1)
+    in_row = targets[None, :] <= vcount[:, None]
+    pick = lambda a: jnp.take_along_axis(a, src, axis=1)          # noqa: E731
+    pv = jnp.where(in_row[..., None],
+                   jnp.take_along_axis(mesh.positions, src[..., None],
+                                       axis=1), 0.0)
+    n8 = (jnp.clip(jnp.round(mesh.normals * 127.0), -127, 127)
+          + 127.0).astype(jnp.uint32)
+    npk = n8[..., 0] + (n8[..., 1] << 8) + (n8[..., 2] << 16)
+    c8 = jnp.clip(jnp.round(mesh.colors * 255.0), 0, 255).astype(jnp.uint32)
+    cpk = c8[..., 0] + (c8[..., 1] << 8) + (c8[..., 2] << 16)
+    pn = jnp.where(in_row, pick(npk), 0)
+    pc = jnp.where(in_row, pick(cpk), 0)
+
+    # triangles → chunk-local compact ids, row-compacted the same way
+    t = mesh.triangles                              # [U, T, 3] edge ids
+    safe = jnp.maximum(t, 0)
+    cv = jnp.take_along_axis(val, safe.reshape(U, -1), axis=1).reshape(t.shape)
+    # drop triangles touching vertices beyond the pool cap
+    tl = jnp.take_along_axis(vidx, safe.reshape(U, -1), axis=1).reshape(t.shape)
+    tvalid = (jnp.all(t >= 0, axis=-1) & jnp.all(cv, axis=-1)
+              & jnp.all(tl < p_cap, axis=-1) & active[:, None])
+    tvi = tvalid.astype(jnp.int32)
+    tcum = jnp.cumsum(tvi, axis=1)
+    tcount = jnp.minimum(tcum[:, -1], t_cap)
+    t_targets = jnp.arange(t_cap) + 1
+    tsrc = jax.vmap(lambda c: jnp.searchsorted(c, t_targets))(tcum)
+    tsrc = jnp.minimum(tsrc, t.shape[1] - 1)
+    t_in = t_targets[None, :] <= tcount[:, None]
+    pt = jnp.where(t_in[..., None],
+                   jnp.take_along_axis(tl, tsrc[..., None], axis=1), 0)
+
+    sl = jnp.where(active, slots, pool.verts.shape[0] - 1)
+    new_pool = MeshPool(
+        verts=pool.verts.at[sl].set(pv),
+        col_packed=pool.col_packed.at[sl].set(pc),
+        nrm_packed=pool.nrm_packed.at[sl].set(pn),
+        tris=pool.tris.at[sl].set(pt.astype(jnp.int32)),
+        vcount=pool.vcount.at[sl].set(jnp.where(active, vcount, 0)),
+        tcount=pool.tcount.at[sl].set(jnp.where(active, tcount, 0)),
+    )
+    return new_pool, vcount, tcount
+
+
+@functools.partial(jax.jit, static_argnames=())
+def gather_pool_rows(pool: MeshPool, slots: jnp.ndarray):
+    """Fetchable copy of selected pool rows (export path)."""
+    return (pool.verts[slots], pool.col_packed[slots],
+            pool.nrm_packed[slots], pool.tris[slots],
+            pool.vcount[slots], pool.tcount[slots])
+
+
+def unpack_u32_channels(packed: np.ndarray) -> np.ndarray:
+    """[...] uint32 → [..., 3] float 0..255 channel values."""
+    return np.stack([packed & 0xFF, (packed >> 8) & 0xFF,
+                     (packed >> 16) & 0xFF], axis=-1).astype(np.float32)
+
+
 def unpack_vert_records(rec: np.ndarray
                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """[N, 5] uint32 records → (positions f32 [N,3], colors [N,3] 0..1,

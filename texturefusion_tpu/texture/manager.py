@@ -81,20 +81,11 @@ class TextureManager:
             if problem is None:
                 return
             n = problem.unary.shape[0]
-            # pack EVERY meshed chunk's vertices, row i ↔ MRF node i
-            meshes = [mesher.meshes.get(s) for s in slots]
-            pmax = _bucket(max((len(m[0]) for m in meshes if m is not None),
-                               default=64))
-            verts = np.zeros((n, pmax, 3), np.float32)
-            valid = np.zeros((n, pmax), bool)
-            vcol = np.zeros((n, pmax, 3), np.float32)
-            for i, m in enumerate(meshes):
-                if m is None:
-                    continue
-                kv = len(m[0])
-                verts[i, :kv] = m[0]
-                valid[i, :kv] = True
-                vcol[i, :kv] = m[2]
+            # node i ↔ chunk slot i; vertices come from the DEVICE mesh
+            # pool inside the program — no host packing
+            slot_idx = np.full(n, mesher.pool.verts.shape[0] - 1, np.int32)
+            slot_idx[: len(slots)] = slots
+            nv_of = {s: int(mesher.vcount[s]) for s in slots}
             # stacked keyframe buffers, slot-indexed (device u8 rgb)
             kb = _bucket(len(kf_states), lo=4)
             order = sorted(kf_states)
@@ -111,8 +102,9 @@ class TextureManager:
 
         with STOPWATCH.time("tex_device"):
             out = patch_ops.texture_cycle_program(
-                problem, jnp.asarray(verts), jnp.asarray(valid),
-                jnp.asarray(vcol), jnp.asarray(poses),
+                problem, jnp.asarray(slot_idx), mesher.pool.verts,
+                mesher.pool.col_packed, mesher.pool.vcount,
+                jnp.asarray(poses),
                 jnp.stack(rgb_list), jnp.stack(depth_list),
                 self.intr, self.cfg, self.cfg.mrf_sweeps)
             (sol, kf_id, uv16, uv_ok, bmin, bmax, wrong,
@@ -128,7 +120,7 @@ class TextureManager:
             urgent, refresh = [], []
             for i, s in enumerate(slots):
                 kf = labels[s]
-                if kf not in kf_states or meshes[i] is None or wrong[i]:
+                if kf not in kf_states or nv_of.get(s, 0) == 0 or wrong[i]:
                     if wrong[i] and kf >= 0:
                         obs = volume.observations.get(s)
                         if obs is not None and kf in obs:
@@ -162,7 +154,7 @@ class TextureManager:
                         s, kf, bmin[i], bmax[i], rgb_host)
                     if rec is None:
                         return  # atlas full — stop (ref: Atlas overflow)
-                nv = len(meshes[i][0])
+                nv = nv_of[s]
                 tex.label = kf
                 tex.wrong = False
                 tex.atlas_uv = self.atlas.atlas_uv(

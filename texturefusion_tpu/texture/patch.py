@@ -99,9 +99,10 @@ class TextureCycleOut(NamedTuple):
                    static_argnames=("intr", "cfg", "sweeps"))
 def texture_cycle_program(
     problem,                   # mrf.MRFProblem, node i ↔ chunk row i
-    verts: jnp.ndarray,        # [N, P, 3]
-    vert_valid: jnp.ndarray,   # [N, P]
-    vert_color: jnp.ndarray,   # [N, P, 3] fused voxel colors
+    slot_idx: jnp.ndarray,     # [N] int32 chunk slot per node
+    pool_verts: jnp.ndarray,   # [S+1, P, 3] device mesh pool
+    pool_colpk: jnp.ndarray,   # [S+1, P] uint32 packed voxel colors
+    pool_vcount: jnp.ndarray,  # [S+1] int32
     kf_poses: jnp.ndarray,     # [K, 4, 4] (slot-indexed)
     kf_rgbs: jnp.ndarray,      # [K, H, W, 3] uint8
     kf_depths: jnp.ndarray,    # [K, H, W]
@@ -112,13 +113,22 @@ def texture_cycle_program(
     """The ENTIRE texture stage of the map cycle as ONE program:
     MRF view-selection ICM sweeps → per-chunk projection into the chosen
     keyframe → wrong-mapping veto → global color compensation — one
-    dispatch, one small fetch. The reference runs these as four CPU
-    passes (ref: MobileFusion.cpp:356-384); on a tunneled accelerator
-    each separate pass costs a ~24 ms dispatch→sync roundtrip."""
+    dispatch, one small fetch. Mesh vertices come straight from the
+    DEVICE mesh pool (no host round-trip). The reference runs these as
+    four CPU passes (ref: MobileFusion.cpp:356-384); on a tunneled
+    accelerator each separate pass costs a ~24 ms dispatch→sync
+    roundtrip."""
     from texturefusion_tpu.texture import color as color_ops
     from texturefusion_tpu.texture import mrf as mrf_ops
 
-    n, p = vert_valid.shape
+    verts = jnp.take(pool_verts, slot_idx, axis=0)        # [N, P, 3]
+    cpk = jnp.take(pool_colpk, slot_idx, axis=0)          # [N, P]
+    vert_color = jnp.stack([cpk & 0xFF, (cpk >> 8) & 0xFF,
+                            (cpk >> 16) & 0xFF],
+                           axis=-1).astype(jnp.float32) / 255.0
+    n, p = cpk.shape
+    vert_valid = (jnp.arange(p)[None, :]
+                  < jnp.take(pool_vcount, slot_idx)[:, None])
     k = kf_poses.shape[0]
     labels = mrf_ops.solve_icm(problem, cfg.mrf_potts_weight,
                                cfg.mrf_edge_weight, sweeps=sweeps)
