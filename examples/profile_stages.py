@@ -130,29 +130,28 @@ def main():
     ntris = sum(len(m[1]) for m in mesher.meshes.values())
     print(f"{'total verts / tris':>40s}: {nverts} / {ntris}")
 
-    # --- breakdown of the fused compacted path at bucket 512
-    part = np.asarray(dirty[:512], np.int64)
+    # --- breakdown of the pooled meshing path at bucket 512
+    n_part = min(len(dirty), 512)
+    part = np.asarray(dirty[:n_part] + [vol.cfg.capacity] * (512 - n_part),
+                      np.int64)
     nbr = mesher._neighbor_slots(part)
-    og = jnp.asarray(vol.ids[part].astype(np.float32) * vol.extent)
+    og = jnp.asarray(vol.ids[np.minimum(part, vol.cfg.capacity - 1)]
+                     .astype(np.float32) * vol.extent)
+    sl = jnp.asarray(part)
     nb = jnp.asarray(nbr)
-    act = jnp.asarray(np.ones(512, bool))
+    act = jnp.asarray(np.arange(512) < n_part)
 
-    def fused_mc():
-        return mc.mesh_chunks_compact(
-            vol.batch.sdf, vol.batch.weight, vol.batch.color,
-            vol.batch.color_count, nb, og, act, vol.cfg.chunk_size,
-            vol.cfg.voxel_resolution, mesher._vert_cap, mesher._tri_cap)
-    flat = timeit("  mesh_chunks_compact[512] device", fused_mc, n=5)
-
-    timeit("  counts fetch", lambda: jax.device_get((flat.vcount,
-                                                     flat.tcount)), n=5)
-    vc = np.asarray(flat.vcount)
-    tv = int(vc.sum())
-    tt = int(np.asarray(flat.tcount).sum())
-
-    def prefix_fetch():
-        return mesher._fetch_prefix2(flat.vert_rec, tv, flat.triangles, tt)
-    timeit("  prefix fetches", prefix_fetch, n=5)
+    def pooled_mc():
+        pool, vcnt, tcnt = mc.mesh_chunks_pooled(
+            mesher.pool, vol.batch.sdf, vol.batch.weight, vol.batch.color,
+            vol.batch.color_count, sl, nb, og, act, vol.cfg.chunk_size,
+            vol.cfg.voxel_resolution)
+        mesher.pool = pool   # pool is donated — must adopt the new buffers
+        return vcnt, tcnt
+    counts = timeit("  mesh_chunks_pooled[512] device", pooled_mc, n=5)
+    timeit("  counts fetch", lambda: jax.device_get(counts), n=5)
+    timeit("  pool row fetch",
+           lambda: mesher._fetch_rows(np.asarray(dirty[:n_part])), n=5)
 
 
 if __name__ == "__main__":

@@ -40,6 +40,15 @@ def test_checkpoint_roundtrip(seq, tmp_path):
     assert pipe2.volume.slot_of == pipe.volume.slot_of
     assert len(pipe2.slam.frames) == len(pipe.slam.frames)
     assert pipe2.slam.n_edges == pipe.slam.n_edges
+    # the promotion-probe state must survive: the device keypoint DB and
+    # the DB-row→slot map feed loop closure after resume (VERDICT r2 #4)
+    np.testing.assert_array_equal(np.asarray(pipe.slam._row_to_slot),
+                                  np.asarray(pipe2.slam._row_to_slot))
+    np.testing.assert_array_equal(np.asarray(pipe.slam.kp_db.kp.desc),
+                                  np.asarray(pipe2.slam.kp_db.kp.desc))
+    assert np.asarray(pipe2.slam.kp_db.kp.valid).any(), \
+        "restored keypoint DB is empty — promote_probe would register " \
+        "candidates against all-zero keypoints"
 
     # resumed pipeline keeps working: feed remaining frames
     for i in range(4, 6):
@@ -51,6 +60,39 @@ def test_checkpoint_roundtrip(seq, tmp_path):
     traj = pipe2.trajectory()
     assert traj.shape == (6, 4, 4)
     assert np.isfinite(traj).all()
+
+
+def test_checkpoint_resume_loop_closure(tmp_path):
+    """Resume must keep loop closure ALIVE: after restore, run enough
+    frames that new keyframes promote — their registrations probe the
+    restored device keypoint DB (all-zero before the fix, so every
+    candidate registration failed silently). VERDICT r2 weak #4."""
+    poses = synthetic.orbit_trajectory(16, angle_range=3.0)
+    depths, rgbs = synthetic.render_sequence(SCENE, INTR, poses)
+    pipe = ReconstructionPipeline(CFG)
+    for i in range(8):
+        pipe.process_frame(jnp.asarray(depths[i]), jnp.asarray(rgbs[i]),
+                           timestamp=float(i))
+    pipe.flush_tracking()
+    ckpt = str(tmp_path / "mid.ckpt")
+    checkpoint.save_pipeline(pipe, ckpt)
+    kf_before = len(pipe.slam.keyframes)
+    edges_before = pipe.slam.n_edges
+
+    pipe2 = ReconstructionPipeline(CFG)
+    checkpoint.load_pipeline(pipe2, ckpt)
+    for i in range(8, 16):
+        pipe2.process_frame(jnp.asarray(depths[i]), jnp.asarray(rgbs[i]),
+                            timestamp=float(i))
+    pipe2.finish()
+    assert len(pipe2.slam.keyframes) > kf_before, \
+        "no keyframe promoted after resume"
+    # every new keyframe must have registered against a RESTORED
+    # keyframe (edge added) — impossible with a zeroed keypoint DB
+    assert pipe2.slam.n_edges > edges_before, \
+        "no edges created after resume — loop closure silently broken"
+    assert pipe2.slam.origin_count == 1, \
+        "tracking lost after resume (new map origin created)"
 
 
 def test_simplify_by_clustering():

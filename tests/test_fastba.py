@@ -106,3 +106,29 @@ def test_prune_outlier_edges_keeps_odometry():
     v = np.asarray(pruned.valid)
     assert not v[6]          # corrupted loop edge pruned
     assert v[:6].all()       # odometry edges always kept
+
+
+def test_prune_masked_median_under_padding():
+    """Masked median must ignore padded/invalid rows: with >50% of the
+    bucket invalid, a genuine outlier edge is still pruned
+    (ref: outlier pruning MultiViewGeometry.cpp:1165-1205)."""
+    poses, edges, active, gt, n_total = _make_pose_graph(noise=0.0)
+    # embed into a 64-slot bucket: 7 valid edges => ~89% rows invalid
+    cap = 64
+    big = fastba.make_edges(cap)
+    big = fastba.EdgeSums(*[a.at[:16].set(b) for a, b in zip(big, edges)])
+    s_pq = np.asarray(big.s_pq).copy()
+    s_pq[6] += 50.0            # corrupt the loop edge (0,5)
+    big = big._replace(s_pq=jnp.asarray(s_pq))
+    pruned = fastba.prune_outlier_edges(poses, big)
+    v = np.asarray(pruned.valid)
+    assert not v[6], "outlier not pruned under a >50%-padded bucket"
+    assert v[:6].all()         # odometry edges kept
+    assert not v[7:].any()     # padding stays invalid
+
+
+def test_prune_median_all_invalid_noop():
+    poses, edges, active, gt, n_total = _make_pose_graph(noise=0.0)
+    none = edges._replace(valid=jnp.zeros_like(edges.valid))
+    pruned = fastba.prune_outlier_edges(poses, none)
+    assert not np.asarray(pruned.valid).any()

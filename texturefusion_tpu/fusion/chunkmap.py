@@ -341,9 +341,12 @@ class TSDFVolume:
         """GC pass over chunks allocated since the last pass — frees
         slots that never produced an observation entry (frustum-culled
         allocations outside the truncation band; the reference GCs these
-        every integrate, Chisel.h:184-216). Derives emptiness from the
-        deferred integrate flags instead of a device occupancy probe —
-        zero extra device syncs. Returns freed slots."""
+        every integrate, Chisel.h:184-216). Candidates lacking an
+        observation entry are confirmed empty with a device occupancy
+        probe before release: depth-only local-frame integration
+        (integrate_depths_scan) adds real TSDF weight without creating
+        observations, and the reference's Chisel GC probes actual voxel
+        occupancy before freeing. Returns freed slots."""
         if not self.new_since_gc:
             return np.zeros(0, np.int64)
         self.flush_observations()
@@ -351,8 +354,9 @@ class TSDFVolume:
             [s for s in sorted(self.new_since_gc)
              if self.used[s] and not self._observations.get(s)], np.int64)
         self.new_since_gc.clear()
-        if len(cand):
-            self.release(cand)
+        if len(cand) == 0:
+            return cand
+        cand = self.garbage_collect(cand)
         return cand
 
     def retract_observations(self, keyframe_id: int) -> List[int]:

@@ -177,15 +177,22 @@ class ReconstructionPipeline:
                 kp_prev = self._kp_prev if self._kp_prev is not None \
                     else kp_ref
                 st_ref = self.kf_states.get(last_kf.slot)
-                if st_ref is not None and st_ref.depth_weight is None:
-                    st_ref.depth_weight = (jnp.asarray(st_ref.depth) > 0
-                                           ).astype(jnp.float32)
-                kf_depth = (st_ref.depth if st_ref is not None
-                            else jnp.zeros((intr.height, intr.width),
-                                           jnp.float32))
-                kf_weight = (st_ref.depth_weight if st_ref is not None
-                             else jnp.zeros((intr.height, intr.width),
-                                            jnp.float32))
+                if st_ref is not None:
+                    # read ONCE into a local: the fusion thread's budget
+                    # pass may set st_ref.depth_weight=None concurrently
+                    # (release_device_memory) between a check and a reuse
+                    kf_depth = st_ref.depth
+                    w_local = st_ref.depth_weight
+                    if w_local is None:
+                        w_local = (jnp.asarray(kf_depth) > 0
+                                   ).astype(jnp.float32)
+                        st_ref.depth_weight = w_local
+                    kf_weight = w_local
+                else:
+                    kf_depth = jnp.zeros((intr.height, intr.width),
+                                         jnp.float32)
+                    kf_weight = jnp.zeros((intr.height, intr.width),
+                                          jnp.float32)
                 bundle, kp, res, res_ff, stats2, f_depth, f_weight = \
                     frame_step_tracked2(
                         depth_raw, rgb, kp_ref, kp_prev, kf_depth, kf_weight,
@@ -350,9 +357,11 @@ class ReconstructionPipeline:
             # keyframes when the device-resident keyframe state exceeds
             # its budget (offload itself costs link bandwidth)
             budget = self.config.tsdf.keyframe_device_budget_mb * 2**20
+            newest = max(self.kf_states, default=-1)
             resident = [
                 (s, st2) for s, st2 in sorted(self.kf_states.items())
-                if st2.integrated and st2.depth_weight is not None]
+                if st2.integrated and st2.depth_weight is not None
+                and s != newest]   # tracking still refines the newest
             approx = sum(self._kf_device_bytes(st2) for _, st2 in resident)
             for s, st2 in resident:
                 if approx <= budget:

@@ -36,7 +36,9 @@ def save_ply(path: str, vertices: np.ndarray, faces: Optional[np.ndarray] = None
         cols = [vertices.astype("<f4")]
         if normals is not None:
             cols.append(normals.astype("<f4"))
-        vdata = np.concatenate([c.view(np.uint8).reshape(n, -1) for c in cols], axis=1)
+        vdata = np.concatenate(
+            [np.ascontiguousarray(c).view(np.uint8).reshape(n, -1)
+             for c in cols], axis=1)
         if colors is not None:
             vdata = np.concatenate([vdata, colors.reshape(n, 3)], axis=1)
         f.write(vdata.tobytes())

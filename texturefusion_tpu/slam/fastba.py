@@ -282,8 +282,16 @@ def prune_outlier_edges(poses: jnp.ndarray, edges: EdgeSums,
     (ref: outlier-edge pruning, MultiViewGeometry.cpp:1165-1205)."""
     e = edge_errors(poses, edges)
     mean_per_pt = e / jnp.maximum(edges.s_w, 1e-9)
-    med = jnp.median(jnp.where(edges.valid, mean_per_pt, jnp.nan))
-    med = jnp.nan_to_num(med, nan=1e9)
+    # masked median over VALID edges only: sort invalid rows to +inf and
+    # index the middle of the valid prefix (jnp.median over NaN-padded
+    # data would take the median index over the FULL padded bucket —
+    # NaN with >50% padding, biased high otherwise)
+    n_valid = jnp.sum(edges.valid)
+    srt = jnp.sort(jnp.where(edges.valid, mean_per_pt, jnp.inf))
+    hi = jnp.clip((n_valid - 1) // 2 + (n_valid - 1) % 2, 0, srt.size - 1)
+    lo = jnp.clip((n_valid - 1) // 2, 0, srt.size - 1)
+    med = 0.5 * (srt[lo] + srt[hi])
+    med = jnp.where(n_valid > 0, med, 1e9)
     keep = edges.valid & (mean_per_pt <= factor * jnp.maximum(med, 1e-12))
     # never prune odometry edges (consecutive keyframes)
     odo = jnp.abs(edges.kf_i - edges.kf_j) == 1

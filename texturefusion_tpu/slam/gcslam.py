@@ -113,8 +113,9 @@ class GCSLAM:
 
     @poses.setter
     def poses(self, value: np.ndarray) -> None:
-        self._poses_pending = None
-        self._poses_np = value
+        with self._pose_lock:
+            self._poses_pending = None
+            self._poses_np = value
 
     def _sync_poses(self) -> None:
         # called from both the tracking and the fusion threads
@@ -225,7 +226,11 @@ class GCSLAM:
             flat.copy_to_host_async()
         except Exception:
             pass
-        self._poses_pending = (flat, bucket)
+        # publish under the pose lock: _sync_poses (fusion thread) does a
+        # read-then-clear of the same field — an unguarded store here can
+        # interleave and silently drop a whole BA round's poses
+        with self._pose_lock:
+            self._poses_pending = (flat, bucket)
         # write back pruned-edge validity
         self.edges = self.edges._replace(
             valid=self.edges.valid.at[:e_bucket].set(edges.valid))

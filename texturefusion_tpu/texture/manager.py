@@ -146,7 +146,14 @@ class TextureManager:
                 self._refresh_age[s] = self._cycle_counter
                 tex = self.chunk_tex.setdefault(s, ChunkTexture())
                 rec = self.atlas.patches.get(s)
-                if rec is None or rec.kf_id != kf:
+                # refresh path must re-blit when the remeshed surface
+                # outgrew the stored bbox — atlas_uv clamps against the
+                # STORED bbox, so new vertices outside it would smear
+                # into the tile edge
+                escaped = (rec is not None and rec.kf_id == kf
+                           and ((bmin[i] < rec.bbox_min - 0.5).any()
+                                or (bmax[i] > rec.bbox_max + 0.5).any()))
+                if rec is None or rec.kf_id != kf or escaped:
                     st = kf_states[kf]
                     rgb_host = (st.rgb_host() if hasattr(st, "rgb_host")
                                 else st.rgb)

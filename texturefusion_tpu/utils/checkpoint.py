@@ -92,6 +92,13 @@ def save_pipeline(pipe, path: str) -> None:
     }
     arrays["db_desc"] = np.asarray(slam.db.desc)
     arrays["db_valid"] = np.asarray(slam.db.valid)
+    # device keypoint DB + DB-row→slot map: the single-dispatch promotion
+    # probe gathers candidate keypoints from these (gcslam.py kp_db /
+    # _row_to_slot); without them a resumed run registers loop-closure
+    # candidates against all-zero keypoints
+    arrays["row_to_slot"] = np.asarray(slam._row_to_slot)
+    for name, arr in zip(slam.kp_db.kp._fields, slam.kp_db.kp):
+        arrays[f"kpdb_{name}"] = np.asarray(arr)
 
     # keyframe keypoints (needed to register future frames after resume)
     if slam.keyframes:
@@ -154,6 +161,23 @@ def load_pipeline(pipe, path: str) -> None:
     slam.db.kf_ids = list(meta["db_kf_ids"])
     slam.db.desc = jnp.asarray(data["db_desc"])
     slam.db.valid = jnp.asarray(data["db_valid"])
+    if "row_to_slot" in data:
+        slam._row_to_slot = jnp.asarray(data["row_to_slot"])
+        from texturefusion_tpu.slam.features import Keypoints
+        slam.kp_db.kp = Keypoints(
+            **{name: jnp.asarray(data[f"kpdb_{name}"])
+               for name in Keypoints._fields})
+    else:
+        # legacy checkpoint: rebuild the device keypoint DB from the
+        # per-keyframe keypoints saved above
+        for k in slam.keyframes:
+            kp = slam.frames[k.frame_index].keypoints
+            if kp is not None:
+                slam.kp_db.add(k.slot, kp)
+        rts = np.full(slam.kp_db.max_kf, -1, np.int32)
+        for row, s in enumerate(slam.db.kf_ids):
+            rts[row] = s
+        slam._row_to_slot = jnp.asarray(rts)
 
     pipe.kf_states = {int(s): KeyframeFusionState(**st)
                       for s, st in meta["kf_states"].items()}
