@@ -67,3 +67,78 @@ def test_in_image():
     uv = jnp.asarray([[0.0, 0.0], [639.0, 479.0], [-0.1, 5.0], [640.0, 5.0]])
     mask = np.asarray(camera.in_image(INTR, uv))
     assert list(mask) == [True, True, False, False]
+
+
+def test_undistort_roundtrip():
+    """undistort(distort(x)) ≈ x for TUM-fr1-like coefficients
+    (ref: BasicAPI.cpp:195-241 keypoint undistortion)."""
+    import numpy as np
+    from texturefusion_tpu.core import camera as cam
+    intr = cam.Intrinsics(fx=517.3, fy=516.5, cx=318.6, cy=255.3,
+                          width=640, height=480, near=0.01, far=6.0,
+                          d0=0.2624, d1=-0.9531, d2=-0.0054, d3=0.0026,
+                          d4=1.1633)
+    rng = np.random.default_rng(0)
+    # ideal pixel coords over the central image region
+    uv_ideal = np.stack([rng.uniform(80, 560, 200),
+                         rng.uniform(60, 420, 200)], -1).astype(np.float32)
+    x = (uv_ideal[:, 0] - intr.cx) / intr.fx
+    y = (uv_ideal[:, 1] - intr.cy) / intr.fy
+    xd, yd = cam.distort_normalized(intr, jnp.asarray(x), jnp.asarray(y))
+    uv_dist = jnp.stack([xd * intr.fx + intr.cx,
+                         yd * intr.fy + intr.cy], axis=-1)
+    back = np.asarray(cam.undistort_points(intr, uv_dist))
+    np.testing.assert_allclose(back, uv_ideal, atol=0.05)
+
+
+def test_undistort_noop_without_coeffs():
+    import numpy as np
+    from texturefusion_tpu.core import camera as cam
+    intr = cam.Intrinsics(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+                          width=640, height=480, near=0.01, far=6.0)
+    uv = jnp.asarray(np.random.default_rng(1).uniform(0, 600, (50, 2))
+                     .astype(np.float32))
+    assert cam.undistort_points(intr, uv) is uv
+
+
+def test_distorted_registration_recovers_pose():
+    """Two views of the same points observed through a DISTORTED camera:
+    backprojection via undistorted keypoints must let Kabsch/GN recover
+    the ground-truth relative pose (VERDICT r2 missing #3)."""
+    import numpy as np
+    from texturefusion_tpu.core import camera as cam
+    from texturefusion_tpu.core import se3
+
+    intr = cam.Intrinsics(fx=517.3, fy=516.5, cx=318.6, cy=255.3,
+                          width=640, height=480, near=0.01, far=6.0,
+                          d0=0.2624, d1=-0.9531, d2=-0.0054, d3=0.0026,
+                          d4=1.1633)
+    rng = np.random.default_rng(2)
+    pts_w = rng.uniform(-0.8, 0.8, (120, 3)).astype(np.float32)
+    pts_w[:, 2] += 2.5
+    xi = jnp.asarray(np.asarray([0.05, -0.03, 0.02, 0.04, -0.02, 0.03],
+                                np.float32))
+    t_rel = np.asarray(se3.se3_exp(xi))     # frame1 → frame0
+
+    def observe(t_w2c):
+        p_cam = pts_w @ t_w2c[:3, :3].T + t_w2c[:3, 3]
+        # distorted pixel observation
+        x = p_cam[:, 0] / p_cam[:, 2]
+        y = p_cam[:, 1] / p_cam[:, 2]
+        xd, yd = cam.distort_normalized(intr, jnp.asarray(x), jnp.asarray(y))
+        uv_d = jnp.stack([xd * intr.fx + intr.cx,
+                          yd * intr.fy + intr.cy], axis=-1)
+        # the pipeline's recovery path: undistort → pinhole backproject
+        uv_i = cam.undistort_points(intr, uv_d)
+        return np.asarray(cam.unproject(intr, uv_i[:, 0], uv_i[:, 1],
+                                        jnp.asarray(p_cam[:, 2])))
+
+    p0 = observe(np.eye(4, dtype=np.float32))           # points in frame 0
+    p1 = observe(np.linalg.inv(t_rel).astype(np.float32))  # in frame 1
+    # Kabsch on recovered 3D points must give t_rel: p0 ≈ T · p1, and
+    # kabsch(p, q) fits p ≈ R q + t
+    from texturefusion_tpu.slam.matching import kabsch
+    t_est = np.asarray(kabsch(jnp.asarray(p0), jnp.asarray(p1),
+                              jnp.ones(len(p0))))
+    err = np.abs(t_est - t_rel).max()
+    assert err < 2e-3, f"pose error {err} — undistortion broken"

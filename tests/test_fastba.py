@@ -132,3 +132,41 @@ def test_prune_median_all_invalid_noop():
     none = edges._replace(valid=jnp.zeros_like(edges.valid))
     pruned = fastba.prune_outlier_edges(poses, none)
     assert not np.asarray(pruned.valid).any()
+
+
+def test_reweight_edges_downweights_outliers():
+    """finalBA Huber re-weighting (ref: GCSLAM.h:32-39 initGraphHuberNorm):
+    matches that are inconsistent at the CURRENT poses get Huber-
+    down-weighted; clean matches keep weight 1."""
+    rng = np.random.default_rng(5)
+    n_kf, p = 2, 64
+    pts_w = rng.uniform(-1, 1, (p, 3)).astype(np.float32)
+    pts_w[:, 2] += 3.0
+    xi = jnp.asarray(np.asarray([0.1, 0.0, 0.05, 0.0, 0.1, 0.0], np.float32))
+    t1 = np.asarray(se3.se3_exp(xi))          # pose of kf 1
+    kp_pts = np.zeros((4, p, 3), np.float32)
+    kp_pts[0] = pts_w                          # kf0 at identity
+    inv1 = np.linalg.inv(t1)
+    kp_pts[1] = pts_w @ inv1[:3, :3].T + inv1[:3, 3]
+    # corrupt 8 of kf1's points: gross outliers at the true pose
+    kp_pts[1, :8] += 0.5
+
+    edges = fastba.make_edges(16)
+    edges = edges._replace(
+        kf_i=edges.kf_i.at[0].set(0), kf_j=edges.kf_j.at[0].set(1),
+        valid=edges.valid.at[0].set(True))
+    midx = jnp.zeros((16, p), jnp.int32).at[0].set(jnp.arange(p))
+    minl = jnp.zeros((16, p), jnp.float32).at[0].set(1.0)
+    has = jnp.zeros(16, bool).at[0].set(True)
+    poses = jnp.asarray(np.stack([np.eye(4, dtype=np.float32), t1]
+                                 + [np.eye(4, dtype=np.float32)] * 2))
+    delta = 0.008
+    new = fastba.reweight_edges(poses, edges, jnp.asarray(kp_pts),
+                                midx, minl, has, jnp.float32(delta))
+    s_w = float(new.s_w[0])
+    # clean matches contribute 1 each; the 8 outliers contribute
+    # delta/||r|| ≈ 0.008/0.85 each — far below 1
+    assert s_w < p - 7, s_w
+    assert s_w > p - 9, s_w
+    # edges without stored matches keep their sums
+    assert float(new.s_w[1]) == float(edges.s_w[1])

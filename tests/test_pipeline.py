@@ -97,3 +97,54 @@ def test_async_fusion_matches_sync(seq):
     verts_w = verts @ poses[0][:3, :3].T + poses[0][:3, 3]
     sdf = np.abs(np.asarray(SCENE.sdf(jnp.asarray(verts_w))))
     assert np.median(sdf) < CFG.tsdf.voxel_resolution
+
+
+def test_reintegration_restores_mesh_after_pose_correction(seq):
+    """Pipeline-level drift→retract→de-integrate→re-integrate cycle
+    (ref: MobileFusion.cpp:289-315 + ReIntegrateKeyframe :114-221):
+    integrate a keyframe at a WRONG pose, correct the pose (as BA would),
+    run a fusion cycle, and assert the reintegration fired and the mesh
+    snapped back to the surface it would have had with the right pose."""
+    poses, depths, rgbs = seq
+    pipe = ReconstructionPipeline(CFG)
+    # frame 0 bootstraps keyframe 0 at identity; inject a perturbed pose
+    pipe.process_frame(jnp.asarray(depths[0]), jnp.asarray(rgbs[0]),
+                       timestamp=0.0)
+    pipe.flush_tracking()
+    bad = np.eye(4, dtype=np.float32)
+    bad[:3, 3] += np.asarray([0.12, -0.06, 0.1], np.float32)  # 17 cm off
+    pipe.slam.poses[0] = bad
+    pipe.fusion_cycle(0)                # integrates kf0 at the BAD pose
+    st = pipe.kf_states[0]
+    assert st.integrated
+    np.testing.assert_allclose(st.integrated_pose, bad)
+
+    # BA "corrects" the pose back to ground truth
+    pipe.slam.poses[0] = np.eye(4, dtype=np.float32)
+    pipe.fusion_cycle(0)                # drift cost >> 1e-4 → reintegrate
+    assert pipe.stats["reintegrations"] >= 1, \
+        "drift above threshold did not trigger reintegration"
+    np.testing.assert_allclose(st.integrated_pose,
+                               np.eye(4, dtype=np.float32))
+
+    # the mesh must now match a fresh pipeline that integrated at the
+    # correct pose from the start
+    ref = ReconstructionPipeline(CFG)
+    ref.process_frame(jnp.asarray(depths[0]), jnp.asarray(rgbs[0]),
+                      timestamp=0.0)
+    ref.flush_tracking()
+    ref.fusion_cycle(0)
+    v_fix, _, _, _ = pipe.mesher.full_mesh()
+    v_ref, _, _, _ = ref.mesher.full_mesh()
+    assert len(v_ref) > 50
+    # compare centroid + bounds (vertex ORDER may differ across chunk
+    # sets; the surfaces must coincide)
+    np.testing.assert_allclose(v_fix.mean(0), v_ref.mean(0), atol=0.02)
+    np.testing.assert_allclose(
+        np.percentile(v_fix, [5, 95], axis=0),
+        np.percentile(v_ref, [5, 95], axis=0), atol=0.05)
+    # and the de-integration really cleared the bad-pose surface: voxel
+    # mass matches the reference run (no ghost geometry)
+    w_fix = float(jnp.sum(jnp.abs(pipe.volume.batch.weight)))
+    w_ref = float(jnp.sum(jnp.abs(ref.volume.batch.weight)))
+    assert abs(w_fix - w_ref) / max(w_ref, 1.0) < 0.05

@@ -16,7 +16,11 @@ from texturefusion_tpu.config import CameraConfig
 
 
 class Intrinsics(NamedTuple):
-    """Static camera intrinsics as a jit-friendly NamedTuple of scalars."""
+    """Static camera intrinsics as a jit-friendly NamedTuple of scalars.
+
+    d0-d4 are the Brown-Conrady distortion coefficients (k1, k2, p1, p2,
+    k3) from the 13-field calib.txt (ref: BasicAPI.cpp:1108-1133); all
+    zero for rectified input."""
 
     fx: float
     fy: float
@@ -26,12 +30,23 @@ class Intrinsics(NamedTuple):
     height: int
     near: float
     far: float
+    d0: float = 0.0
+    d1: float = 0.0
+    d2: float = 0.0
+    d3: float = 0.0
+    d4: float = 0.0
 
     @classmethod
     def from_config(cls, cam: CameraConfig) -> "Intrinsics":
         return cls(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
                    width=cam.width, height=cam.height,
-                   near=cam.near_plane, far=cam.far_plane)
+                   near=cam.near_plane, far=cam.far_plane,
+                   d0=cam.d0, d1=cam.d1, d2=cam.d2, d3=cam.d3, d4=cam.d4)
+
+    @property
+    def has_distortion(self) -> bool:
+        return any(abs(d) > 1e-12
+                   for d in (self.d0, self.d1, self.d2, self.d3, self.d4))
 
     def scaled(self, factor: float) -> "Intrinsics":
         """Intrinsics for an image resized by `factor` (pyramid levels)."""
@@ -41,6 +56,7 @@ class Intrinsics(NamedTuple):
             width=int(round(self.width * factor)),
             height=int(round(self.height * factor)),
             near=self.near, far=self.far,
+            d0=self.d0, d1=self.d1, d2=self.d2, d3=self.d3, d4=self.d4,
         )
 
 
@@ -65,6 +81,41 @@ def unproject(intr: Intrinsics, u: jnp.ndarray, v: jnp.ndarray,
     x = (u - intr.cx) / intr.fx * depth
     y = (v - intr.cy) / intr.fy * depth
     return jnp.stack([x, y, depth], axis=-1)
+
+
+def distort_normalized(intr: Intrinsics, x: jnp.ndarray, y: jnp.ndarray
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward Brown-Conrady model on normalized camera coords:
+    (x, y) undistorted → distorted. k1=d0, k2=d1, p1=d2, p2=d3, k3=d4."""
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (intr.d0 + r2 * (intr.d1 + r2 * intr.d4))
+    xd = x * radial + 2.0 * intr.d2 * x * y + intr.d3 * (r2 + 2.0 * x * x)
+    yd = y * radial + intr.d2 * (r2 + 2.0 * y * y) + 2.0 * intr.d3 * x * y
+    return xd, yd
+
+
+def undistort_points(intr: Intrinsics, uv: jnp.ndarray,
+                     iterations: int = 8) -> jnp.ndarray:
+    """Undistort pixel coords (..., 2) by iterating the inverse Brown
+    model — the reference undistorts every keypoint when the calibration
+    carries distortion (ref: BasicAPI.cpp:195-241, cv::undistortPoints
+    at :226, which uses the same fixed-point iteration). Returns pixel
+    coords under the ideal pinhole model. No-op when all d coefficients
+    are zero (checked at trace time — zero cost for rectified input)."""
+    if not intr.has_distortion:
+        return uv
+    xd = (uv[..., 0] - intr.cx) / intr.fx
+    yd = (uv[..., 1] - intr.cy) / intr.fy
+    x, y = xd, yd
+    for _ in range(iterations):
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (intr.d0 + r2 * (intr.d1 + r2 * intr.d4))
+        dx = 2.0 * intr.d2 * x * y + intr.d3 * (r2 + 2.0 * x * x)
+        dy = intr.d2 * (r2 + 2.0 * y * y) + 2.0 * intr.d3 * x * y
+        safe = jnp.where(jnp.abs(radial) > 1e-8, radial, 1e-8)
+        x = (xd - dx) / safe
+        y = (yd - dy) / safe
+    return jnp.stack([x * intr.fx + intr.cx, y * intr.fy + intr.cy], axis=-1)
 
 
 def pixel_grid(intr: Intrinsics, dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -187,34 +187,62 @@ class TSDFVolume:
 
     # ---------------------------------------------------------- integration
 
+    def dispatch_discovery(self, depth: jnp.ndarray,
+                           cam_to_world: jnp.ndarray,
+                           max_out: Optional[int] = None):
+        """Launch the on-device candidate dedup WITHOUT fetching and start
+        the device→host copy. Every fetch on the tunneled link costs one
+        ~23 ms RTT, so callers dispatch discovery as early as possible
+        (e.g. at keyframe promotion, a whole fusion-cycle ahead) and the
+        later fetch in discover_chunks finds the bytes already on host."""
+        stride = max(1, self.intr.width // 320)
+        if max_out is None:
+            max_out = self.cfg.max_update_chunks * 4
+        ids, n = tsdf_ops.candidate_chunks_unique(
+            depth, cam_to_world, self.intr, self.cfg, stride=stride,
+            max_out=max_out)
+        try:
+            ids.copy_to_host_async()
+            n.copy_to_host_async()
+        except Exception:
+            pass
+        return ids, n, max_out
+
     def discover_chunks(self, depth: jnp.ndarray, cam_to_world: jnp.ndarray,
-                        allocate: bool = True) -> np.ndarray:
+                        allocate: bool = True,
+                        prefetched=None) -> np.ndarray:
         """Chunk IDs intersecting this frame's truncation band → slots
         (ref: Chisel.h:103-182 PrepareIntersectChunks). Allocates new slots
-        unless allocate=False (de-integration touches existing only)."""
+        unless allocate=False (de-integration touches existing only).
+        `prefetched` takes a dispatch_discovery result to skip the
+        dispatch (and usually the fetch RTT)."""
         # on-device sort-dedup: only [max_out, 3] ids + count cross the link.
         # Discovery stride scales with resolution: at VGA a stride-2 pixel
         # footprint is far below the chunk extent, so nothing is missed.
-        stride = max(1, self.intr.width // 320)
-        max_out = self.cfg.max_update_chunks * 4
         while True:
-            ids, n = tsdf_ops.candidate_chunks_unique(
-                depth, cam_to_world, self.intr, self.cfg, stride=stride,
-                max_out=max_out)
+            if prefetched is not None:
+                ids_d, n_d, max_out = prefetched
+                prefetched = None
+            else:
+                ids_d, n_d, max_out = self.dispatch_discovery(
+                    depth, cam_to_world)
+            # ONE batched fetch (single RTT) for ids + count
+            ids, n = jax.device_get((ids_d, n_d))
             n = int(n)
             if n < max_out:
                 break
             # overflow: the unique set filled the static budget and may
             # have silently dropped surface (ref culling covers the whole
             # frustum, ChunkManager.h:380-559) — retry with a bigger cap
-            max_out *= 2
             import warnings
             warnings.warn(
                 f"discover_chunks: candidate budget hit ({n}); "
-                f"retrying with max_out={max_out}")
+                f"retrying with max_out={max_out * 2}")
+            prefetched = self.dispatch_discovery(depth, cam_to_world,
+                                                 max_out=max_out * 2)
         if n == 0:
             return np.zeros((0,), np.int64)
-        ids = np.asarray(ids)[:n]
+        ids = ids[:n]
         if self.streamer is not None and allocate:
             # revisited space: restore offloaded chunks before assignment
             self.streamer.ensure_resident(ids)
@@ -274,6 +302,14 @@ class TSDFVolume:
                 self.cfg, with_color=with_color)
 
             if with_color and keyframe_id is not None:
+                try:
+                    # start the device→host copy now; the flush (up to a
+                    # cycle later) then reads host-cached bytes instead
+                    # of paying the ~23 ms fetch RTT
+                    quality.copy_to_host_async()
+                    updated.copy_to_host_async()
+                except Exception:
+                    pass
                 self._pending_obs.append(
                     (chunk_slots, quality, updated, keyframe_id, sign))
             # dirty superset: every touched slot (fetching the exact

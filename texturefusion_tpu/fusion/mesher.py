@@ -71,14 +71,33 @@ class IncrementalMesher:
         if not dirty:
             return 0
         budget = self.volume.config.mesh.max_mesh_chunks
+        pending = []
         for start in range(0, len(dirty), budget):
-            self._remesh(np.asarray(dirty[start:start + budget], np.int64))
+            pending.append(
+                self._remesh(np.asarray(dirty[start:start + budget],
+                                        np.int64)))
+        # ONE batched fetch for every batch's counts (each separate fetch
+        # costs a ~23 ms link RTT; the async copies started at dispatch
+        # usually make this free)
+        fetched = jax.device_get([(vc, tc) for _, vc, tc in pending])
+        for (slots, _, _), (vc, tc) in zip(pending, fetched):
+            n_real = len(slots)
+            self.vcount[slots] = vc[:n_real]
+            self.tcount[slots] = tc[:n_real]
+            if not self._warned_overflow and (
+                    (vc[:n_real] >= self.p_cap).any()
+                    or (tc[:n_real] >= self.t_cap).any()):
+                self._warned_overflow = True
+                warnings.warn("mesh pool per-chunk capacity clamped a "
+                              "chunk; raise MeshConfig.pool_verts_per_chunk")
         for s in dirty:
             vol.dirty_mesh.discard(s)
         self._cache_valid = False
         return len(dirty)
 
-    def _remesh(self, slots: np.ndarray) -> None:
+    def _remesh(self, slots: np.ndarray):
+        """Dispatch one remesh batch; returns (slots, vcount, tcount)
+        device handles with their host copies already in flight."""
         vol = self.volume
         nbr = self._neighbor_slots(slots)
         origins = vol.ids[slots].astype(np.float32) * vol.extent
@@ -97,15 +116,12 @@ class IncrementalMesher:
             vol.batch.color_count, jnp.asarray(slots_p), jnp.asarray(nbr_p),
             jnp.asarray(origins_p), active,
             vol.cfg.chunk_size, vol.cfg.voxel_resolution)
-        vc, tc = jax.device_get((vcount, tcount))
-        self.vcount[slots] = vc[:n_real]
-        self.tcount[slots] = tc[:n_real]
-        if not self._warned_overflow and (
-                (vc[:n_real] >= self.p_cap).any()
-                or (tc[:n_real] >= self.t_cap).any()):
-            self._warned_overflow = True
-            warnings.warn("mesh pool per-chunk capacity clamped a chunk; "
-                          "raise MeshConfig.pool_verts_per_chunk")
+        try:
+            vcount.copy_to_host_async()
+            tcount.copy_to_host_async()
+        except Exception:
+            pass
+        return slots, vcount, tcount
 
     # ------------------------------------------------------------- host views
 

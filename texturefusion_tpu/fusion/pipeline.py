@@ -53,6 +53,7 @@ class KeyframeFusionState:
     integrated_pose: Optional[np.ndarray] = None   # pose_sophus[1]
     integrated: bool = False
     rgb_host: Optional[np.ndarray] = None   # lazy uint8 host copy
+    integrated_slots: Optional[np.ndarray] = None  # chunk set at integration
 
     def rgb_np(self) -> np.ndarray:
         """Host uint8 copy, fetched once (texture blits / PNG export)."""
@@ -91,6 +92,7 @@ class ReconstructionPipeline:
                 offload_radius=config.tsdf.streaming_radius)
             self.volume.streamer = self.streamer
         self.kf_states: Dict[int, KeyframeFusionState] = {}
+        self._disco_prefetch = None     # (kf_slot, dispatched discovery)
         self._last_seen_kf = -1
         self._inflight: Optional[dict] = None   # pipelined pending frame
         self._dispatch_count = 0
@@ -260,6 +262,17 @@ class ReconstructionPipeline:
             # (ref: MobileFusion.cpp:274-406 runs on kflist.size()-2)
             prev = frame.keyframe_slot - 1
             if prev >= 0:
+                st_prev = self.kf_states.get(prev)
+                if st_prev is not None and not st_prev.integrated:
+                    # dispatch chunk discovery NOW and start its host
+                    # copy: by the time the fusion cycle consumes it the
+                    # ~23 ms fetch RTT has already been paid in the
+                    # background (BA pose corrections between now and
+                    # then are millimetres vs the 16 cm chunk extent)
+                    self._disco_prefetch = (
+                        prev, self.volume.dispatch_discovery(
+                            jnp.asarray(st_prev.depth),
+                            jnp.asarray(self.slam.keyframe_pose(prev))))
                 self._submit_fusion(prev)
         else:
             # accumulate local-frame depth for keyframe refinement +
@@ -309,15 +322,25 @@ class ReconstructionPipeline:
 
     # --------------------------------------------------------------- fusion
 
-    def _integrate_keyframe(self, st: KeyframeFusionState, sign: float) -> None:
+    def _integrate_keyframe(self, st: KeyframeFusionState, sign: float,
+                            prefetched=None) -> None:
         pose = (st.integrated_pose if sign < 0
                 else self.slam.keyframe_pose(st.kf_slot))
         pose_j = jnp.asarray(pose)
         kf_id = st.kf_slot
+        if sign < 0 and st.integrated_slots is not None:
+            # de-integration must touch EXACTLY the integrated chunk set;
+            # reusing it also skips the discovery fetch RTT
+            slots = st.integrated_slots
+        else:
+            slots = self.volume.discover_chunks(
+                jnp.asarray(st.depth), pose_j, allocate=sign > 0,
+                prefetched=prefetched)
         slots = self.volume.integrate_frame(
             jnp.asarray(st.depth),
             jnp.asarray(st.rgb.astype(np.float32) / 255.0),
-            jnp.asarray(st.quality), pose_j, keyframe_id=kf_id, sign=sign)
+            jnp.asarray(st.quality), pose_j, keyframe_id=kf_id, sign=sign,
+            slots=slots)
         # local frames: depth-only, reusing the keyframe's chunk set — the
         # local frames view (almost) the same volume (tracked below the
         # disparity gate), so re-discovery per frame is redundant; all of
@@ -330,6 +353,7 @@ class ReconstructionPipeline:
                 slots, sign=sign)
         if sign > 0:
             st.integrated_pose = np.asarray(pose)
+            st.integrated_slots = slots
             st.integrated = True
         else:
             st.integrated = False
@@ -342,8 +366,11 @@ class ReconstructionPipeline:
         if st is not None and not st.integrated:
             if self.slam.keyframes[finished_slot].origin_index == 0:
                 # only origin-0 frames are fused (ref: MobileFusion.cpp:245)
+                pre = getattr(self, "_disco_prefetch", None)
+                pre = pre[1] if (pre is not None
+                                 and pre[0] == finished_slot) else None
                 with STOPWATCH.time("integration"):
-                    self._integrate_keyframe(st, sign=1.0)
+                    self._integrate_keyframe(st, sign=1.0, prefetched=pre)
         with STOPWATCH.time("meshing"):
             self.mesher.update_meshes()
         self._texture_cycle()

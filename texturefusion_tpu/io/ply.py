@@ -46,7 +46,8 @@ def save_ply(path: str, vertices: np.ndarray, faces: Optional[np.ndarray] = None
             m = len(faces)
             fdata = np.empty((m, 13), dtype=np.uint8)
             fdata[:, 0] = 3
-            fdata[:, 1:] = faces.astype("<i4").view(np.uint8).reshape(m, 12)
+            fdata[:, 1:] = (np.ascontiguousarray(faces.astype("<i4"))
+                            .view(np.uint8).reshape(m, 12))
             f.write(fdata.tobytes())
 
 

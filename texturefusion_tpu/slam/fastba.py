@@ -298,6 +298,47 @@ def prune_outlier_edges(poses: jnp.ndarray, edges: EdgeSums,
     return edges._replace(valid=jnp.where(odo, edges.valid, keep))
 
 
+@jax.jit
+def reweight_edges(poses: jnp.ndarray, edges: EdgeSums,
+                   kp_pts: jnp.ndarray,      # [K, P, 3] keypoint DB points
+                   match_idx: jnp.ndarray,   # [E, P] ref row per src slot
+                   match_w: jnp.ndarray,     # [E, P] inlier weight (0 off)
+                   has_matches: jnp.ndarray,  # [E] bool — raw matches kept
+                   huber_delta: jnp.ndarray) -> EdgeSums:
+    """Re-pre-integrate every edge with Huber weights evaluated at the
+    CURRENT poses — the reference's finalBA re-initializes the graph with
+    Huber norms at final poses before the last optimization
+    (ref: GCSLAM/GCSLAM.h:32-39 initGraphHuberNorm; weight recipe
+    preIntegrateWithHuberNorm MultiViewGeometry.h:245-311). Edges without
+    stored matches (virtual odometry priors) keep their old sums."""
+    t_i = poses[edges.kf_i]
+    t_j = poses[edges.kf_j]
+    rel = se3.compose(se3.inverse(t_i), t_j)            # i ← j
+    p = kp_pts[edges.kf_i[:, None], match_idx]          # [E, P, 3]
+    q = kp_pts[edges.kf_j]                              # [E, P, 3]
+    x = jnp.einsum("eij,epj->epi", rel[:, :3, :3], q,
+                   precision=_PREC) + rel[:, None, :3, 3]
+    rn = jnp.linalg.norm(x - p, axis=-1)
+    w = match_w * jnp.where(rn <= huber_delta, 1.0,
+                            huber_delta / jnp.maximum(rn, 1e-12))
+    s_w = jnp.sum(w, axis=1)
+    s_p = jnp.einsum("ep,epi->ei", w, p, precision=_PREC)
+    s_q = jnp.einsum("ep,epi->ei", w, q, precision=_PREC)
+    s_pp = jnp.einsum("ep,epi,epj->eij", w, p, p, precision=_PREC)
+    s_qq = jnp.einsum("ep,epi,epj->eij", w, q, q, precision=_PREC)
+    s_pq = jnp.einsum("ep,epi,epj->eij", w, p, q, precision=_PREC)
+    use = has_matches & edges.valid
+    uz = use[:, None]
+    um = use[:, None, None]
+    return edges._replace(
+        s_w=jnp.where(use, s_w, edges.s_w),
+        s_p=jnp.where(uz, s_p, edges.s_p),
+        s_q=jnp.where(uz, s_q, edges.s_q),
+        s_pp=jnp.where(um, s_pp, edges.s_pp),
+        s_qq=jnp.where(um, s_qq, edges.s_qq),
+        s_pq=jnp.where(um, s_pq, edges.s_pq))
+
+
 @functools.partial(jax.jit, static_argnames=("n_kf", "cfg"))
 def optimize(poses: jnp.ndarray, edges: EdgeSums, n_kf: int,
              active: jnp.ndarray, cfg: BAConfig):

@@ -269,10 +269,14 @@ def extract_features(gray: jnp.ndarray, depth: jnp.ndarray,
     level = jnp.concatenate(levels_id)
 
     # backproject to 3D with the (refined) depth map
-    # (ref: BasicAPI.cpp:257-279)
+    # (ref: BasicAPI.cpp:257-279). Depth lookup happens at the RAW pixel
+    # (the depth image is as-distorted as the rgb); the backprojection
+    # and the downstream 2D reprojection checks use UNDISTORTED coords
+    # (ref: BasicAPI.cpp:195-241 cv::undistortPoints on every keypoint)
     d, dmask = cam.nearest_sample(depth, uv)
     has_depth = valid & dmask & (d > intr.near) & (d < intr.far)
-    pts = cam.unproject(intr, uv[:, 0], uv[:, 1], d)
+    uv_ideal = cam.undistort_points(intr, uv)
+    pts = cam.unproject(intr, uv_ideal[:, 0], uv_ideal[:, 1], d)
     pts = jnp.where(has_depth[:, None], pts, 0.0)
-    return Keypoints(uv=uv, response=response, angle=angle, level=level,
+    return Keypoints(uv=uv_ideal, response=response, angle=angle, level=level,
                      desc=desc, valid=valid, points3d=pts, has_depth=has_depth)

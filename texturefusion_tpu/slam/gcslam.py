@@ -56,6 +56,11 @@ class KeyframeRecord:
     reg_success_count: int = 0
 
 
+@jax.jit
+def _match_store_append(midx, minl, e, row_idx, row_inl):
+    return midx.at[e].set(row_idx), minl.at[e].set(row_inl)
+
+
 def _next_bucket(n: int, lo: int = 8) -> int:
     b = lo
     while b < n:
@@ -77,6 +82,13 @@ class GCSLAM:
         self._pose_lock = threading.Lock()
         self.edges = fastba.make_edges(config.ba.max_edges)
         self.n_edges = 0
+        # raw per-edge matches (device): finalBA re-pre-integrates edges
+        # with Huber weights at FINAL poses (ref: GCSLAM.h:32-39
+        # initGraphHuberNorm) — needs the original correspondences
+        pad = config.tracking.max_matches_pad
+        self._edge_midx = jnp.zeros((config.ba.max_edges, pad), jnp.int32)
+        self._edge_minl = jnp.zeros((config.ba.max_edges, pad), jnp.float32)
+        self._edge_has = np.zeros(config.ba.max_edges, bool)
         self.db = loopclosure.KeyframeDescriptorDB(max_keyframes=max_kf)
         # device-side stacked keypoints + DB-row→slot map for the
         # single-dispatch promotion probe (slam/promote.py)
@@ -179,7 +191,14 @@ class GCSLAM:
             jnp.float32(self.config.ba.huber_delta))
         self.edges = fastba.append_edge(
             self.edges, jnp.int32(self.n_edges), kf_i_slot, kf_j_slot, *sums)
+        self._store_edge_matches(self.n_edges, res.match_idx,
+                                 res.inliers.astype(jnp.float32))
         self.n_edges += 1
+
+    def _store_edge_matches(self, e: int, midx, minl) -> None:
+        self._edge_midx, self._edge_minl = _match_store_append(
+            self._edge_midx, self._edge_minl, jnp.int32(e), midx, minl)
+        self._edge_has[e] = True
 
     def _run_ba(self) -> None:
         """FastBA over all keyframes (ref: optimizeKeyFrameMap
@@ -307,11 +326,13 @@ class GCSLAM:
         frame.tracking_success = True
         kf = self._promote_keyframe(frame, kp, pose_world.astype(np.float32))
 
-        for kf_c, _stats, sums in results:
+        for kf_c, _stats, sums, matches in results:
             if self.n_edges < self.config.ba.max_edges:
                 self.edges = fastba.append_edge(
                     self.edges, jnp.int32(self.n_edges), kf_c.slot, kf.slot,
                     *sums)
+                if matches is not None:
+                    self._store_edge_matches(self.n_edges, *matches)
                 self.n_edges += 1
         kf.reg_success_count = len(results)
 
@@ -320,7 +341,7 @@ class GCSLAM:
         # those origins — re-anchor the younger origin onto the adopted one
         adopted = kf.origin_index
         pose_new = self.poses[kf.slot]
-        for kf_c, _stats, _sums in results:
+        for kf_c, _stats, _sums, _matches in results:
             o = kf_c.origin_index
             if o == adopted:
                 continue
@@ -383,7 +404,8 @@ class GCSLAM:
             sums = tuple(jax.tree.map(lambda a, i=i: a[i],
                                       (probe.s_w, probe.s_p, probe.s_q,
                                        probe.s_pp, probe.s_qq, probe.s_pq)))
-            results.append((self.keyframes[slot], fetched[i, 2:23], sums))
+            results.append((self.keyframes[slot], fetched[i, 2:23], sums,
+                            (probe.midx[i], probe.minl[i])))
         return results
 
     def _legacy_candidates(self, kp: Keypoints,
@@ -425,7 +447,9 @@ class GCSLAM:
                     kp_ref.points3d[tracked.match_idx], kp.points3d,
                     tracked.inliers.astype(jnp.float32), tracked.pose,
                     jnp.float32(self.config.ba.huber_delta))
-                results.append((kf_c, st, sums))
+                results.append((kf_c, st, sums,
+                                (tracked.match_idx.astype(jnp.int32),
+                                 tracked.inliers.astype(jnp.float32))))
                 continue
             to_register.append(slot)
         if to_register:
@@ -452,7 +476,9 @@ class GCSLAM:
                         kp_ref_i.points3d[res_i.match_idx], kp.points3d,
                         res_i.inliers.astype(jnp.float32), res_i.pose,
                         jnp.float32(self.config.ba.huber_delta))
-                    results.append((self.keyframes[slot], stats_all[i], sums))
+                    results.append((self.keyframes[slot], stats_all[i], sums,
+                                    (res_i.match_idx.astype(jnp.int32),
+                                     res_i.inliers.astype(jnp.float32))))
         return results
 
     # ------------------------------------------------------------ main entry
@@ -664,5 +690,23 @@ class GCSLAM:
             self._kf_normals = preprocess.extract_normal_map(depth, self.intr)
 
     def final_ba(self) -> None:
-        """Final global optimization (ref: GCSLAM.h:32-39 finalBA)."""
+        """Final global optimization (ref: GCSLAM.h:32-39 finalBA):
+        re-pre-integrate every edge with Huber weights evaluated at the
+        CURRENT optimized poses (initGraphHuberNorm semantics) before the
+        last Gauss-Newton — weights frozen at registration time overvalue
+        correspondences that later turned out inconsistent."""
+        if self.n_edges > 0 and self._edge_has[: self.n_edges].any():
+            self._sync_poses()
+            e_bucket = _next_bucket(self.n_edges, lo=16)
+            kf_bucket = _next_bucket(max(len(self.keyframes), 1))
+            edges = jax.tree.map(lambda a: a[:e_bucket], self.edges)
+            new = fastba.reweight_edges(
+                jnp.asarray(self._poses_np[:kf_bucket]), edges,
+                self.kp_db.kp.points3d,
+                self._edge_midx[:e_bucket], self._edge_minl[:e_bucket],
+                jnp.asarray(self._edge_has[:e_bucket]),
+                jnp.float32(self.config.ba.huber_delta))
+            self.edges = fastba.EdgeSums(
+                *(full.at[:e_bucket].set(part)
+                  for full, part in zip(self.edges, new)))
         self._run_ba()

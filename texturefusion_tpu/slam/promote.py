@@ -98,6 +98,8 @@ class PromoteProbe(NamedTuple):
     s_pp: jnp.ndarray         # [C, 3, 3]
     s_qq: jnp.ndarray         # [C, 3, 3]
     s_pq: jnp.ndarray         # [C, 3, 3]
+    midx: jnp.ndarray         # [C, P] per-candidate match indices (device)
+    minl: jnp.ndarray         # [C, P] per-candidate inlier weights (device)
     fetch: jnp.ndarray        # [C, 23] flat (slot, ok, stats) host fetch
 
 
@@ -180,4 +182,6 @@ def promote_probe(db_kp: Keypoints,            # stacked by keyframe slot
     return PromoteProbe(cand_slots=cand_slots, cand_ok=ok, stats=stats,
                         s_w=s_w, s_p=s_p, s_q=s_q,
                         s_pp=s_pp, s_qq=s_qq, s_pq=s_pq,
+                        midx=res.match_idx.astype(jnp.int32),
+                        minl=res.inliers.astype(jnp.float32),
                         fetch=fetch.reshape(-1))

@@ -4,7 +4,15 @@ Host orchestration mirroring the texture stages of the reference's map
 cycle (ref: GCFusion/MobileFusion.cpp:330-384 — wrong-mapping datacost
 removal :330-343, texManager updates :356-359, view_selection :362-369,
 GeneratePatches :374, CompensateColor :380, UpdateAtlas :382), driving the
-batched device kernels in texture/{mrf,patch,color}.py.
+batched device kernels in texture/{mrf,patch,color,kfstack}.py.
+
+INCREMENTAL design (ref: the incremental view_selection variant,
+TexMap.cpp:257-406): the MRF solves globally every cycle (cheap — [N, 16]
+costs), but projection/uv/wrong-mapping run only for chunks whose label
+flipped or whose mesh changed. Keyframe images live in persistent device
+stacks written once per keyframe (kfstack.py); per-chunk color moments
+stay device-resident so the global per-keyframe color compensation still
+sees every patched vertex. One device program + ONE fetch per cycle.
 """
 
 from __future__ import annotations
@@ -17,17 +25,10 @@ import numpy as np
 
 from texturefusion_tpu.config import PipelineConfig
 from texturefusion_tpu.core import camera as cam
-from texturefusion_tpu.texture import color as color_ops
 from texturefusion_tpu.texture import patch as patch_ops
 from texturefusion_tpu.texture.atlas import Atlas
+from texturefusion_tpu.texture.kfstack import KeyframeStack
 from texturefusion_tpu.texture.mrf import ViewSelector
-
-
-def _bucket(n: int, lo: int = 64) -> int:
-    b = lo
-    while b < n:
-        b *= 2
-    return b
 
 
 class ChunkTexture:
@@ -58,98 +59,94 @@ class TextureManager:
             sweeps=self.cfg.mrf_sweeps)
         self.atlas = Atlas(self.cfg, config.tsdf.voxel_resolution)
         self.chunk_tex: Dict[int, ChunkTexture] = {}
-        self._refresh_age: Dict[int, int] = {}   # slot -> last refresh cycle
-        self._cycle_counter = 0
+        self.kf_stack = KeyframeStack(self.intr.height, self.intr.width)
+        # device-resident per-chunk state (lazily sized to the pool)
+        self._labels_dev = None      # [S+1] int32 keyframe label per slot
+        self._stats_dev = None       # [S+1, STATS_W] f32 color moments
+        self._carry: set = set()     # remeshed chunks deferred past budget
+        self._kf_transfer: Optional[dict] = None
+
+    def _ensure_state(self, mesher) -> None:
+        s1 = mesher.pool.verts.shape[0]
+        if self._labels_dev is None:
+            self._labels_dev = jnp.full((s1,), -1, jnp.int32)
+            self._stats_dev = jnp.zeros((s1, patch_ops.STATS_W), jnp.float32)
 
     # ------------------------------------------------------------- cycle
 
+    def add_keyframe_images(self, kf_slot: int, rgb_u8, depth,
+                            pose: np.ndarray) -> None:
+        """Write one keyframe's images into the device stack (called at
+        integration time — the depth is final by then)."""
+        if kf_slot not in self.kf_stack.present:
+            self.kf_stack.add(kf_slot, rgb_u8, depth, pose)
+
     def update(self, volume, mesher, kf_states: Dict[int, object],
                newest_kf: int, remeshed: Optional[set] = None) -> None:
-        """One texture cycle: MRF view selection + projection of EVERY
-        meshed chunk against its selected keyframe + color compensation
-        run as ONE device program with ONE fetch
-        (patch.texture_cycle_program); the host then applies atlas blits
-        (label changes only) and uv bookkeeping under a per-cycle budget."""
+        """One texture cycle (see module docstring)."""
         from texturefusion_tpu.utils.stopwatch import STOPWATCH
         with STOPWATCH.time("tex_adjacency"):
             adjacency = mesher.chunk_adjacency()
         if not adjacency:
             return
+        self._ensure_state(mesher)
         with STOPWATCH.time("tex_build"):
             problem, slots, label_kf_np = self.selector.build_problem(
                 volume.observations, adjacency, volume.ids, newest_kf)
             if problem is None:
                 return
             n = problem.unary.shape[0]
-            # node i ↔ chunk slot i; vertices come from the DEVICE mesh
-            # pool inside the program — no host packing
-            slot_idx = np.full(n, mesher.pool.verts.shape[0] - 1, np.int32)
+            trash = mesher.pool.verts.shape[0] - 1
+            slot_idx = np.full(n, trash, np.int32)
             slot_idx[: len(slots)] = slots
-            nv_of = {s: int(mesher.vcount[s]) for s in slots}
-            # stacked keyframe buffers, slot-indexed (device u8 rgb)
-            kb = _bucket(len(kf_states), lo=4)
-            order = sorted(kf_states)
-            poses = np.zeros((kb, 4, 4), np.float32)
-            rgb_list, depth_list = [], []
-            for kf in order:
+            # keyframe stack rows (idempotent) + current BA poses
+            for kf in sorted(kf_states):
                 st = kf_states[kf]
-                poses[kf] = st.pose
-                rgb_list.append(jnp.asarray(st.rgb))
-                depth_list.append(jnp.asarray(st.depth))
-            while len(rgb_list) < kb:
-                rgb_list.append(rgb_list[0])
-                depth_list.append(depth_list[0])
+                self.add_keyframe_images(kf, st.rgb, st.depth, st.pose)
+                self.kf_stack.set_pose(kf, st.pose)
+            want = (remeshed or set()) | self._carry
+            rmask = np.asarray([s in want for s in slots] + [False]
+                               * (n - len(slots)), bool)
+            fallback_kf = max(newest_kf - 1, 0)
 
         with STOPWATCH.time("tex_device"):
-            out = patch_ops.texture_cycle_program(
-                problem, jnp.asarray(slot_idx), mesher.pool.verts,
-                mesher.pool.col_packed, mesher.pool.vcount,
-                jnp.asarray(poses),
-                jnp.stack(rgb_list), jnp.stack(depth_list),
-                self.intr, self.cfg, self.cfg.mrf_sweeps)
-            (sol, kf_id, uv16, uv_ok, bmin, bmax, wrong,
+            self._labels_dev, self._stats_dev, out = \
+                patch_ops.texture_cycle_incremental(
+                    problem, jnp.asarray(slot_idx), self._labels_dev,
+                    self._stats_dev, jnp.asarray(rmask),
+                    mesher.pool.verts, mesher.pool.col_packed,
+                    mesher.pool.vcount, mesher.pool.tcount,
+                    self.kf_stack.rgb_packed, self.kf_stack.depth,
+                    jnp.asarray(self.kf_stack.poses),
+                    jnp.int32(fallback_kf), self.intr, self.cfg,
+                    self.cfg.mrf_sweeps, self.cfg.patch_project_budget)
+            (rows, proj_kf, n_changed, uv16, uv_ok, bmin, bmax, wrong,
              t_np, mt_np, mv_np) = jax.device_get(tuple(out))
 
         with STOPWATCH.time("tex_host"):
-            labels = self.selector.adopt_solution(slots, label_kf_np,
-                                                  sol[: len(slots)],
-                                                  newest_kf)
-            # urgent = new patch or label change; refresh = remeshed uv
-            # update, budgeted round-robin (ref incremental TexMap.cpp:
-            # 257-406)
-            urgent, refresh = [], []
-            for i, s in enumerate(slots):
-                kf = labels[s]
-                if kf not in kf_states or nv_of.get(s, 0) == 0 or wrong[i]:
+            m = int(min(int(n_changed), self.cfg.patch_project_budget))
+            projected = set()
+            for i in range(m):
+                r = int(rows[i])
+                if r >= len(slots):
+                    continue
+                s = slots[r]
+                kf = int(proj_kf[i])
+                projected.add(s)
+                tex = self.chunk_tex.setdefault(s, ChunkTexture())
+                if wrong[i] or kf not in kf_states:
                     if wrong[i] and kf >= 0:
                         obs = volume.observations.get(s)
                         if obs is not None and kf in obs:
                             # poison so the MRF re-selects next cycle
                             # (ref: MobileFusion.cpp:330-343)
                             obs[kf] = -1e11
-                        tex = self.chunk_tex.setdefault(s, ChunkTexture())
-                        tex.wrong = True
+                    tex.wrong = True
                     continue
-                tex = self.chunk_tex.get(s)
-                if tex is None or tex.label != kf:
-                    urgent.append(i)
-                elif remeshed is not None and s in remeshed:
-                    refresh.append(i)
-            budget = max(self.cfg.patch_refresh_budget - len(urgent), 0)
-            if len(refresh) > budget:
-                refresh.sort(key=lambda i: self._refresh_age.get(slots[i], -1))
-                refresh = refresh[:budget]
-            self._cycle_counter += 1
-            for i in urgent + refresh:
-                s = slots[i]
-                kf = labels[s]
-                self._refresh_age[s] = self._cycle_counter
-                tex = self.chunk_tex.setdefault(s, ChunkTexture())
                 rec = self.atlas.patches.get(s)
-                # refresh path must re-blit when the remeshed surface
-                # outgrew the stored bbox — atlas_uv clamps against the
-                # STORED bbox, so new vertices outside it would smear
-                # into the tile edge
+                # re-blit when new patch, label change, or the remeshed
+                # surface outgrew the stored bbox (atlas_uv clamps
+                # against the STORED bbox)
                 escaped = (rec is not None and rec.kf_id == kf
                            and ((bmin[i] < rec.bbox_min - 0.5).any()
                                 or (bmax[i] > rec.bbox_max + 0.5).any()))
@@ -161,12 +158,20 @@ class TextureManager:
                         s, kf, bmin[i], bmax[i], rgb_host)
                     if rec is None:
                         return  # atlas full — stop (ref: Atlas overflow)
-                nv = nv_of[s]
+                nv = int(mesher.vcount[s])
                 tex.label = kf
                 tex.wrong = False
+                self.selector.labels[s] = kf
                 tex.atlas_uv = self.atlas.atlas_uv(
                     s, uv16[i, :nv].astype(np.float32) / 16.0)
                 tex.uv_valid = uv_ok[i, :nv]
+            # remeshed chunks past the projection budget carry over so
+            # their uv refresh lands next cycle
+            if int(n_changed) > m:
+                self._carry = {s for s in want
+                               if s not in projected and s in adjacency}
+            else:
+                self._carry = set()
             # per-keyframe color transfers for export-time baking
             self._kf_transfer = {
                 kf: (t_np[kf], mt_np[kf], mv_np[kf])

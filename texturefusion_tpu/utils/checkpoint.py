@@ -99,6 +99,10 @@ def save_pipeline(pipe, path: str) -> None:
     arrays["row_to_slot"] = np.asarray(slam._row_to_slot)
     for name, arr in zip(slam.kp_db.kp._fields, slam.kp_db.kp):
         arrays[f"kpdb_{name}"] = np.asarray(arr)
+    # raw per-edge matches: finalBA's Huber re-weighting needs them
+    arrays["edge_midx"] = np.asarray(slam._edge_midx)
+    arrays["edge_minl"] = np.asarray(slam._edge_minl)
+    arrays["edge_has"] = slam._edge_has
 
     # keyframe keypoints (needed to register future frames after resume)
     if slam.keyframes:
@@ -161,6 +165,10 @@ def load_pipeline(pipe, path: str) -> None:
     slam.db.kf_ids = list(meta["db_kf_ids"])
     slam.db.desc = jnp.asarray(data["db_desc"])
     slam.db.valid = jnp.asarray(data["db_valid"])
+    if "edge_midx" in data:
+        slam._edge_midx = jnp.asarray(data["edge_midx"])
+        slam._edge_minl = jnp.asarray(data["edge_minl"])
+        slam._edge_has = data["edge_has"].copy()
     if "row_to_slot" in data:
         slam._row_to_slot = jnp.asarray(data["row_to_slot"])
         from texturefusion_tpu.slam.features import Keypoints
