@@ -112,3 +112,45 @@ def test_gcslam_with_distributed_ba():
     est = slam.trajectory()
     rmse = tum.ate_rmse(est, np.stack(poses))
     assert rmse < 0.02, rmse
+
+
+def test_real_pipeline_sharded_matches_single_device():
+    """The LIVE ReconstructionPipeline with tsdf_sharded=True runs its
+    integrate/mesh programs chunk-partitioned over the 8-device mesh and
+    reproduces the single-device reconstruction (VERDICT r2 #7)."""
+    import jax.numpy as jnp
+
+    from texturefusion_tpu.config import ParallelConfig, tiny_test_config
+    from texturefusion_tpu.fusion.pipeline import ReconstructionPipeline
+    from texturefusion_tpu.io import synthetic
+
+    scene = synthetic.BoxRoomScene()
+    base = tiny_test_config()
+    intr = cam.Intrinsics.from_config(base.camera)
+    poses = synthetic.orbit_trajectory(8)
+    depths, rgbs = synthetic.render_sequence(scene, intr, poses)
+
+    def run(cfg):
+        pipe = ReconstructionPipeline(cfg)
+        for i in range(len(poses)):
+            pipe.process_frame(jnp.asarray(depths[i]), jnp.asarray(rgbs[i]),
+                               timestamp=float(i))
+        pipe.finish()
+        return pipe
+
+    ref = run(base)
+    shd = run(base.replace(parallel=ParallelConfig(tsdf_sharded=True,
+                                                   n_devices=8)))
+    assert shd.volume.sharding is not None
+    assert (shd.volume.cfg.capacity + 1) % 8 == 0
+    # identical map structure + near-identical voxel state
+    assert shd.volume.n_active() == ref.volume.n_active()
+    w_ref = float(jnp.sum(ref.volume.batch.weight))
+    w_shd = float(jnp.sum(shd.volume.batch.weight))
+    np.testing.assert_allclose(w_shd, w_ref, rtol=1e-5)
+    np.testing.assert_allclose(shd.trajectory(), ref.trajectory(),
+                               atol=1e-6)
+    v_ref, f_ref, _, _ = ref.mesher.full_mesh()
+    v_shd, f_shd, _, _ = shd.mesher.full_mesh()
+    assert len(v_shd) == len(v_ref)
+    assert len(f_shd) == len(f_ref)

@@ -164,6 +164,11 @@ class ParallelConfig:
     # frame N-1's decisions while N computes (hides the dispatch→sync
     # roundtrip; same latency-hiding role as the reference's thread split)
     pipelined_tracking: bool = True
+    # shard the TSDF chunk-slot axis (and the device mesh pool) over the
+    # device mesh: the LIVE pipeline's integrate/mesh programs then run
+    # chunk-partitioned with XLA-inserted collectives (SURVEY.md §2.3
+    # "chunk batch is the natural shard axis"). Requires >1 device.
+    tsdf_sharded: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -53,6 +53,15 @@ class TSDFVolume:
         self.config = config
         self.cfg = config.tsdf
         self.intr = cam.Intrinsics.from_config(config.camera)
+        self.sharding = sharding
+        if sharding is not None:
+            # slot axis must divide evenly over the mesh; grow capacity
+            # so (capacity + trash row) is a multiple of the shard count
+            import dataclasses as _dc
+            n_sh = sharding.mesh.size
+            cap = -(-(self.cfg.capacity + 1) // n_sh) * n_sh - 1
+            if cap != self.cfg.capacity:
+                self.cfg = _dc.replace(self.cfg, capacity=cap)
         cap = self.cfg.capacity
         v = self.cfg.chunk_size ** 3
         self.n_voxels = v

@@ -33,6 +33,10 @@ class IncrementalMesher:
         self.p_cap = cfg.pool_verts_per_chunk
         self.t_cap = cfg.pool_tris_per_chunk
         self.pool = mc.make_mesh_pool(cap, self.p_cap, self.t_cap)
+        if volume.sharding is not None:
+            # pool rows live on the same chunk-slot shards as the TSDF
+            self.pool = jax.tree.map(
+                lambda a: jax.device_put(a, volume.sharding), self.pool)
         self.vcount = np.zeros(cap + 1, np.int32)   # host mirror
         self.tcount = np.zeros(cap + 1, np.int32)
         # chunk-id -> mesh of an OFFLOADED chunk (streaming): its slot was

@@ -82,7 +82,19 @@ class ReconstructionPipeline:
         self.config = config
         self.intr = cam.Intrinsics.from_config(config.camera)
         self.slam = GCSLAM(config)
-        self.volume = TSDFVolume(config)
+        sharding = None
+        if config.parallel.tsdf_sharded:
+            # chunk-slot axis partitioned over the device mesh: the SAME
+            # integrate/mesh programs run sharded, XLA inserting the
+            # neighbor-gather collectives (SURVEY.md §2.3)
+            import jax as _jax
+            if len(_jax.devices()) > 1:
+                from texturefusion_tpu.parallel import mesh as pmesh
+                m = pmesh.make_mesh(config.parallel.n_devices,
+                                    axis=config.parallel.data_axis)
+                sharding = pmesh.shard_leading(
+                    m, config.parallel.data_axis)
+        self.volume = TSDFVolume(config, sharding=sharding)
         self.mesher = IncrementalMesher(self.volume)
         self.streamer = None
         if config.tsdf.max_resident_chunks > 0:

@@ -257,34 +257,21 @@ def compact_mesh_device(mesh: ChunkMesh, active: jnp.ndarray,
     return CompactMesh(vert_rec, tris, vcount, tcount)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("chunk_size", "resolution",
-                                    "vert_cap", "tri_cap"))
-def mesh_chunks_compact(
-    sdf: jnp.ndarray,          # [S, V] full slot arrays
-    weight: jnp.ndarray,       # [S, V]
-    color: jnp.ndarray,        # [S, V, 3] accumulators (byte scale)
-    color_count: jnp.ndarray,  # [S, V]
-    nbr_slots: jnp.ndarray,    # [U, 8] slot of self+7 neighbors (trash if absent)
-    origins: jnp.ndarray,      # [U, 3] world origin of each chunk
-    active: jnp.ndarray,       # [U] bool
-    chunk_size: int,
-    resolution: float,
-    vert_cap: int,
-    tri_cap: int,
-) -> CompactMesh:
-    """Marching cubes + stream compaction fused into ONE program.
-
-    TPU-shaped rewrite of mesh_chunks→compact_mesh_device: neighbor
-    blocks come from contiguous ROW gathers + static-index remaps
-    (element-wise dynamic gathers and take_along_axis lower to
-    serialized general-gathers on TPU — 85 ms vs 6 ms for the same
-    result), the 12-edge table indirection is a one-hot-over-12
-    reduction, and triangles are emitted directly as chunk-local
-    compact vertex indices so no post-hoc index remap is needed.
+def _mesh_core(sdf, weight, color, color_count, nbr_slots, origins,
+               active, chunk_size, resolution):
+    """Shared TPU-shaped marching-cubes core: neighbor blocks from
+    contiguous ROW gathers + static-index remaps (element-wise dynamic
+    gathers and take_along_axis lower to serialized general-gathers on
+    TPU — 85 ms vs 6 ms for the same result), the 12-edge table
+    indirection as a one-hot-over-12 reduction, triangles emitted as
+    chunk-local compact vertex ids.
     (ref semantics: Structure/ChunkManager.cpp:595-1004
     GenerateMeshEfficient incl. the 3×729 per-edge dedup arrays
-    :645-647; normals from SDF gradient :277-455.)"""
+    :645-647; normals from SDF gradient :277-455.)
+
+    Returns (positions [U,E,3], npack [U,E] u32, cpack [U,E] u32,
+    val [U,E] bool, vali [U,E] i32, vidx [U,E] i32,
+    tl [U,T,3] i32 local compact vertex ids, tvalid [U,T] bool)."""
     U = nbr_slots.shape[0]
     V = sdf.shape[1]
     s = chunk_size
@@ -357,23 +344,12 @@ def mesh_chunks_compact(
     # ---- vertex records + local compact indices
     vali = val.astype(jnp.int32)
     vidx = jnp.cumsum(vali, axis=1) - vali
-    vcount = jnp.sum(vali, axis=1)
 
     n8 = (jnp.clip(jnp.round(normals * 127.0), -127, 127)
           + 127.0).astype(jnp.uint32)
     npack = n8[..., 0] + (n8[..., 1] << 8) + (n8[..., 2] << 16)
     c8 = jnp.clip(jnp.round(colors * 255.0), 0, 255).astype(jnp.uint32)
     cpack = c8[..., 0] + (c8[..., 1] << 8) + (c8[..., 2] << 16)
-    rec = jnp.concatenate([
-        jax.lax.bitcast_convert_type(positions, jnp.uint32),
-        npack[..., None], cpack[..., None]], axis=-1)   # [U, E, 5]
-
-    cflat = jnp.cumsum(vali.reshape(-1))
-    o = jnp.arange(vert_cap)
-    src = jnp.minimum(jnp.searchsorted(cflat, o + 1, side="left"),
-                      cflat.size - 1)
-    vert_rec = jnp.where((o < cflat[-1])[:, None],
-                         jnp.take(rec.reshape(-1, 5), src, axis=0), 0)
 
     # ---- triangles: case index → local edges → local compact vertex ids
     vox = np.stack(np.meshgrid(np.arange(s), np.arange(s), np.arange(s),
@@ -407,6 +383,41 @@ def mesh_chunks_compact(
     emitted = (local_e >= 0).reshape(U, -1, 3)
     tvalid = (jnp.all(emitted, axis=-1) & jnp.all(cv, axis=-1)
               & active[:, None])
+    return positions, npack, cpack, val, vali, vidx, tl, tvalid
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("chunk_size", "resolution",
+                                    "vert_cap", "tri_cap"))
+def mesh_chunks_compact(
+    sdf: jnp.ndarray,          # [S, V] full slot arrays
+    weight: jnp.ndarray,       # [S, V]
+    color: jnp.ndarray,        # [S, V, 3] accumulators (byte scale)
+    color_count: jnp.ndarray,  # [S, V]
+    nbr_slots: jnp.ndarray,    # [U, 8] slot of self+7 neighbors (trash if absent)
+    origins: jnp.ndarray,      # [U, 3] world origin of each chunk
+    active: jnp.ndarray,       # [U] bool
+    chunk_size: int,
+    resolution: float,
+    vert_cap: int,
+    tri_cap: int,
+) -> CompactMesh:
+    """Marching cubes + GLOBAL stream compaction fused into ONE program
+    (flat output across all chunks; see _mesh_core for the TPU shaping)."""
+    positions, npack, cpack, val, vali, vidx, tl, tvalid = _mesh_core(
+        sdf, weight, color, color_count, nbr_slots, origins, active,
+        chunk_size, resolution)
+    vcount = jnp.sum(vali, axis=1)
+    rec = jnp.concatenate([
+        jax.lax.bitcast_convert_type(positions, jnp.uint32),
+        npack[..., None], cpack[..., None]], axis=-1)   # [U, E, 5]
+
+    cflat = jnp.cumsum(vali.reshape(-1))
+    o = jnp.arange(vert_cap)
+    src = jnp.minimum(jnp.searchsorted(cflat, o + 1, side="left"),
+                      cflat.size - 1)
+    vert_rec = jnp.where((o < cflat[-1])[:, None],
+                         jnp.take(rec.reshape(-1, 5), src, axis=0), 0)
 
     tvi = tvalid.astype(jnp.int32)
     tcount = jnp.sum(tvi, axis=1)
@@ -463,50 +474,43 @@ def mesh_chunks_pooled(
 ) -> Tuple[MeshPool, jnp.ndarray, jnp.ndarray]:
     """Marching cubes + per-chunk compaction scattered straight into the
     device mesh pool. Returns (pool, vcount[U], tcount[U]); counts clamp
-    at the pool's per-chunk capacity."""
+    at the pool's per-chunk capacity.
+
+    Per-row compaction is top_k over the edge index (valid edges keep
+    their slot id, invalid get a big sentinel): top_k vectorizes on the
+    VPU, and the payload gathers that follow are tiny ([U, P] rows)
+    — the vmapped searchsorted + take_along_axis this replaces was the
+    single hottest program in the pipeline (235 ms per 512 chunks)."""
     p_cap = pool.verts.shape[1]
     t_cap = pool.tris.shape[1]
-    mesh = mesh_chunks(sdf, weight, color, color_count, slots, nbr_slots,
-                       origins, chunk_size, resolution)
-    U, E = mesh.vert_valid.shape
-    val = mesh.vert_valid & active[:, None]
-    vali = val.astype(jnp.int32)
-    cum = jnp.cumsum(vali, axis=1)                 # [U, E] inclusive
-    vidx = cum - vali                              # local compact index
-    vcount = jnp.minimum(cum[:, -1], p_cap)
+    positions, npk, cpk, val, vali, vidx, tl, tvalid = _mesh_core(
+        sdf, weight, color, color_count, nbr_slots, origins, active,
+        chunk_size, resolution)
+    U, E = val.shape
+    vcount = jnp.minimum(jnp.sum(vali, axis=1), p_cap)
 
-    # per-row compaction via row-wise binary search (gathers only)
-    targets = jnp.arange(p_cap) + 1
-    src = jax.vmap(lambda c: jnp.searchsorted(c, targets))(cum)   # [U, P]
-    src = jnp.minimum(src, E - 1)
-    in_row = targets[None, :] <= vcount[:, None]
-    pick = lambda a: jnp.take_along_axis(a, src, axis=1)          # noqa: E731
+    # first-P-valid edge slots per row, in ascending edge order
+    key = jnp.where(val, jnp.arange(E, dtype=jnp.int32)[None, :], E)
+    neg_small, _ = jax.lax.top_k(-key, p_cap)       # [U, P] ascending slots
+    vsrc = -neg_small
+    in_row = vsrc < E
+    vsrc = jnp.minimum(vsrc, E - 1)
     pv = jnp.where(in_row[..., None],
-                   jnp.take_along_axis(mesh.positions, src[..., None],
-                                       axis=1), 0.0)
-    n8 = (jnp.clip(jnp.round(mesh.normals * 127.0), -127, 127)
-          + 127.0).astype(jnp.uint32)
-    npk = n8[..., 0] + (n8[..., 1] << 8) + (n8[..., 2] << 16)
-    c8 = jnp.clip(jnp.round(mesh.colors * 255.0), 0, 255).astype(jnp.uint32)
-    cpk = c8[..., 0] + (c8[..., 1] << 8) + (c8[..., 2] << 16)
-    pn = jnp.where(in_row, pick(npk), 0)
-    pc = jnp.where(in_row, pick(cpk), 0)
+                   jnp.take_along_axis(positions, vsrc[..., None], axis=1),
+                   0.0)
+    pn = jnp.where(in_row, jnp.take_along_axis(npk, vsrc, axis=1), 0)
+    pc = jnp.where(in_row, jnp.take_along_axis(cpk, vsrc, axis=1), 0)
 
-    # triangles → chunk-local compact ids, row-compacted the same way
-    t = mesh.triangles                              # [U, T, 3] edge ids
-    safe = jnp.maximum(t, 0)
-    cv = jnp.take_along_axis(val, safe.reshape(U, -1), axis=1).reshape(t.shape)
-    # drop triangles touching vertices beyond the pool cap
-    tl = jnp.take_along_axis(vidx, safe.reshape(U, -1), axis=1).reshape(t.shape)
-    tvalid = (jnp.all(t >= 0, axis=-1) & jnp.all(cv, axis=-1)
-              & jnp.all(tl < p_cap, axis=-1) & active[:, None])
-    tvi = tvalid.astype(jnp.int32)
-    tcum = jnp.cumsum(tvi, axis=1)
-    tcount = jnp.minimum(tcum[:, -1], t_cap)
-    t_targets = jnp.arange(t_cap) + 1
-    tsrc = jax.vmap(lambda c: jnp.searchsorted(c, t_targets))(tcum)
-    tsrc = jnp.minimum(tsrc, t.shape[1] - 1)
-    t_in = t_targets[None, :] <= tcount[:, None]
+    # triangles: drop any touching vertices beyond the pool cap, then
+    # compact rows the same top_k way
+    T = tl.shape[1]
+    tvalid = tvalid & jnp.all(tl < p_cap, axis=-1)
+    tkey = jnp.where(tvalid, jnp.arange(T, dtype=jnp.int32)[None, :], T)
+    tneg, _ = jax.lax.top_k(-tkey, t_cap)
+    tsrc = -tneg
+    t_in = tsrc < T
+    tsrc = jnp.minimum(tsrc, T - 1)
+    tcount = jnp.minimum(jnp.sum(tvalid.astype(jnp.int32), axis=1), t_cap)
     pt = jnp.where(t_in[..., None],
                    jnp.take_along_axis(tl, tsrc[..., None], axis=1), 0)
 
