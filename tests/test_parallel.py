@@ -154,3 +154,88 @@ def test_real_pipeline_sharded_matches_single_device():
     v_shd, f_shd, _, _ = shd.mesher.full_mesh()
     assert len(v_shd) == len(v_ref)
     assert len(f_shd) == len(f_ref)
+
+
+def _make_chain_graph(n_kf=32, n_pts=80, noise=0.03, seed=3, n_loops=3):
+    """Long keyframe chain + a few loop edges — big enough that the
+    8-device partition has real interior keyframes to eliminate."""
+    rng = np.random.default_rng(seed)
+    gt = []
+    for k in range(n_kf):
+        xi = np.asarray([0.25 * k, 0.01 * k, 0.002 * k * k,
+                         0.0, 0.03 * k, 0.001 * k], np.float32)
+        gt.append(np.asarray(se3.se3_exp(jnp.asarray(xi))))
+    gt = np.stack(gt)
+    pts_w = rng.uniform(-3, 3, (n_pts, 3)).astype(np.float32)
+    pts_w[:, 2] += 5.0
+    pairs = [(k, k + 1) for k in range(n_kf - 1)]
+    pairs += [(rng.integers(0, n_kf // 2), n_kf - 1 - i)
+              for i in range(n_loops)]
+    cap = 64
+    edges = fastba.make_edges(cap)
+    cols = {k: np.asarray(getattr(edges, k)).copy() for k in edges._fields}
+    for e, (i, j) in enumerate(pairs):
+        ti, tj = np.linalg.inv(gt[i]), np.linalg.inv(gt[j])
+        p = pts_w @ ti[:3, :3].T + ti[:3, 3]
+        q = pts_w @ tj[:3, :3].T + tj[:3, 3]
+        s = fastba.preintegrate_edge(jnp.asarray(p), jnp.asarray(q),
+                                     jnp.ones(n_pts))
+        cols["kf_i"][e], cols["kf_j"][e] = i, j
+        for name, val in zip(("s_w", "s_p", "s_q", "s_pp", "s_qq", "s_pq"), s):
+            cols[name][e] = np.asarray(val)
+        cols["valid"][e] = True
+    edges = fastba.EdgeSums(**{k: jnp.asarray(v) for k, v in cols.items()})
+    poses = gt.copy()
+    for k in range(1, n_kf):
+        xi = rng.normal(0, noise, 6).astype(np.float32)
+        poses[k] = np.asarray(se3.se3_exp(jnp.asarray(xi))) @ poses[k]
+    active = jnp.asarray(np.ones(n_kf, bool))
+    return jnp.asarray(poses), edges, active, gt, n_kf
+
+
+def test_schur_gn_matches_dense():
+    """Keyframe-partitioned Schur reduction reproduces the dense GN
+    solution (interior keyframes exist: 32 kfs over 8 devices)."""
+    poses, edges, active, gt, n_kf = _make_chain_graph()
+    cfg = BAConfig(gn_rounds=1, gn_iterations_per_round=4)
+    ref_poses, e0_ref, e1_ref = fastba.gauss_newton_rounds(
+        poses, edges, n_kf, active, cfg)
+    m = pmesh.make_mesh()
+    edges_s = pba.shard_edges(pba.pad_edges_for_mesh(edges, m.size), m)
+    out, e0, e1 = pba.schur_gn(poses, edges_s, n_kf, active, cfg, m,
+                               sep_budget=24)
+    np.testing.assert_allclose(float(e0), float(e0_ref), rtol=1e-4)
+    # both solves drive the residual to ~numerical zero; compare on the
+    # scale of the initial error rather than the converged noise floor
+    assert abs(float(e1) - float(e1_ref)) < 1e-5 * float(e0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_poses),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_schur_gn_separator_overflow_falls_back_dense():
+    """With sep_budget smaller than the separator set the iteration must
+    take the dense fallback and still match the reference solve."""
+    poses, edges, active, gt, n_kf = _make_chain_graph(n_loops=6)
+    cfg = BAConfig(gn_rounds=1, gn_iterations_per_round=3)
+    ref_poses, _, _ = fastba.gauss_newton_rounds(poses, edges, n_kf,
+                                                 active, cfg)
+    m = pmesh.make_mesh()
+    edges_s = pba.shard_edges(pba.pad_edges_for_mesh(edges, m.size), m)
+    out, _, _ = pba.schur_gn(poses, edges_s, n_kf, active, cfg, m,
+                             sep_budget=2)   # forces overflow
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_poses),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_schur_gn_converges_to_gt():
+    poses, edges, active, gt, n_kf = _make_chain_graph(noise=0.02, seed=11)
+    cfg = BAConfig(gn_rounds=1, gn_iterations_per_round=6)
+    m = pmesh.make_mesh()
+    edges_s = pba.shard_edges(pba.pad_edges_for_mesh(edges, m.size), m)
+    out, e0, e1 = pba.schur_gn(poses, edges_s, n_kf, active, cfg, m)
+    assert float(e1) < float(e0) * 1e-3
+    out = np.asarray(out)
+    for k in range(n_kf):
+        d = np.asarray(se3.pose_distance(jnp.asarray(out[k]),
+                                         jnp.asarray(gt[k])))
+        assert d < 1e-5, (k, d)

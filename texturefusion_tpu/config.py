@@ -78,6 +78,12 @@ class BAConfig:
     levenberg_lambda: float = 1e-6       # diagonal damping for the dense solve
     max_keyframes: int = 512             # static pose-array capacity
     max_edges: int = 4096                # static edge capacity
+    # distributed solve: eliminate per-device interior keyframes and solve
+    # only the separator system (parallel/ba.py schur_gn; BASELINE.json
+    # config 5). Kicks in above the keyframe threshold — below it the
+    # dense [6K,6K] solve is already sub-millisecond on the MXU.
+    schur_min_keyframes: int = 64
+    schur_separator_budget: int = 128
 
 
 @dataclasses.dataclass(frozen=True)

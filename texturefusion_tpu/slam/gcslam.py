@@ -224,9 +224,20 @@ class GCSLAM:
             edges_s = pba.shard_edges(
                 pba.pad_edges_for_mesh(edges, mesh.size), mesh)
             errs = []
+            # keyframe-partitioned Schur reduction once the dense solve
+            # would dominate (BASELINE.json config 5; parallel/ba.py)
+            use_schur = (bucket >= self.config.ba.schur_min_keyframes
+                         and bucket % mesh.size == 0)
             for r in range(self.config.ba.gn_rounds):
-                poses, e0, e1 = pba.distributed_gn(
-                    poses, edges_s, bucket, active, self.config.ba, mesh)
+                if use_schur:
+                    poses, e0, e1 = pba.schur_gn(
+                        poses, edges_s, bucket, active, self.config.ba,
+                        mesh,
+                        sep_budget=self.config.ba.schur_separator_budget)
+                else:
+                    poses, e0, e1 = pba.distributed_gn(
+                        poses, edges_s, bucket, active, self.config.ba,
+                        mesh)
                 errs.append(jnp.stack([e0, e1]))   # device; fetched lazily
                 if r < self.config.ba.gn_rounds - 1:
                     edges_s = fastba.prune_outlier_edges(poses, edges_s)
