@@ -161,3 +161,51 @@ def test_textured_export(textured_run, tmp_path):
     assert "vt " in content and "f " in content
     import os
     assert os.path.exists(str(tmp_path / "model.png"))
+
+
+def test_export_writes_per_vertex_compensated_colors(textured_run, tmp_path):
+    """The OBJ export carries per-vertex corrected colors (ref packs the
+    per-vertex compensation for its shader, Chisel.cpp:270-284) and the
+    deltas are recorded on each chunk's ChunkTexture.color_adjust."""
+    pipe = textured_run
+    obj = pipe.export_textured(str(tmp_path / "pv"))
+    v_lines = [ln for ln in open(obj) if ln.startswith("v ")]
+    assert v_lines and all(len(ln.split()) == 7 for ln in v_lines)
+    cols = np.asarray([[float(x) for x in ln.split()[4:7]]
+                       for ln in v_lines])
+    assert np.isfinite(cols).all() and (cols >= 0).all() and (cols <= 1).all()
+    adj = [t.color_adjust for t in pipe.texture.chunk_tex.values()
+           if t.color_adjust is not None]
+    assert adj, "no per-vertex color-adjust deltas recorded"
+
+
+def test_wrong_mapping_vertices_fall_back_to_voxel_color(textured_run,
+                                                         tmp_path):
+    """Vertices whose keyframe projection is invalid must export the
+    fused voxel color (ref: draw_mesh.vert:29-70 wrong-mapping path)."""
+    pipe = textured_run
+    tex_mgr = pipe.texture
+    # pick an exported chunk and invalidate its first vertices
+    slot = next(s for s in sorted(tex_mgr.chunk_tex)
+                if tex_mgr.chunk_tex[s].atlas_uv is not None
+                and s in pipe.mesher.meshes)
+    tex = tex_mgr.chunk_tex[slot]
+    n = len(tex.atlas_uv)
+    tex.uv_valid = np.zeros(n, bool)          # all wrong
+    obj = pipe.export_textured(str(tmp_path / "wm"))
+    v_lines = [ln for ln in open(obj) if ln.startswith("v ")]
+    cols = np.asarray([[float(x) for x in ln.split()[4:7]]
+                       for ln in v_lines])
+    # locate this chunk's block in the concatenated export
+    base = 0
+    for s in sorted(tex_mgr.chunk_tex):
+        t = tex_mgr.chunk_tex[s]
+        if t.atlas_uv is None or s not in pipe.mesher.meshes:
+            continue
+        k = min(len(pipe.mesher.meshes[s][0]), len(t.atlas_uv))
+        if s == slot:
+            vox = pipe.mesher.meshes[s][2][:k]
+            np.testing.assert_allclose(cols[base:base + k], vox, atol=5e-3)
+            return
+        base += k
+    raise AssertionError("chunk not found in export")

@@ -125,3 +125,46 @@ def test_release_and_gc(frames):
     vol.release(remaining)
     assert vol.n_active() == 0
     assert len(vol.free) == CFG.tsdf.capacity
+
+
+def test_batched_local_integration_matches_scan():
+    """integrate_depths_batched (one pass over the chunk rows) must match
+    the sequential per-frame scan — the running average commutes."""
+    import jax
+    from texturefusion_tpu.config import tiny_test_config
+    from texturefusion_tpu.core import camera as cam
+    from texturefusion_tpu.io import synthetic
+
+    cfg = tiny_test_config()
+    intr = cam.Intrinsics.from_config(cfg.camera)
+    scene = synthetic.BoxRoomScene()
+    poses = synthetic.orbit_trajectory(4)
+    depths, _ = synthetic.render_sequence(scene, intr, poses)
+    d = jnp.stack([jnp.asarray(x) for x in depths])
+    p = jnp.asarray(np.stack(poses).astype(np.float32))
+
+    n_vox = cfg.tsdf.chunk_size ** 3
+    ext = cfg.tsdf.chunk_size * cfg.tsdf.voxel_resolution
+    cap = 64
+    origins = np.zeros((cap + 1, 3), np.float32)
+    k = 0
+    for x in range(-4, 4):
+        for y in range(-2, 2):
+            origins[k] = [x * ext, y * ext, 1.8]
+            k += 1
+    idx = jnp.asarray(np.arange(32, dtype=np.int64))
+    active = jnp.asarray(np.ones(32, bool))
+    orig_j = jnp.asarray(origins)
+
+    a = tsdf_ops.integrate_depths_scan(
+        tsdf_ops.make_empty_batch(cap + 1, n_vox), orig_j, idx, active, d, p,
+        jnp.float32(1.0), intr, cfg.tsdf)
+    b = tsdf_ops.integrate_depths_batched(
+        tsdf_ops.make_empty_batch(cap + 1, n_vox), orig_j, idx, active, d, p,
+        jnp.float32(1.0), intr, cfg.tsdf)
+    assert float(jnp.sum(b.weight)) > 0
+    np.testing.assert_allclose(np.asarray(b.weight), np.asarray(a.weight),
+                               atol=1e-4)
+    mask = np.asarray(a.weight) > 0
+    np.testing.assert_allclose(np.asarray(b.sdf)[mask],
+                               np.asarray(a.sdf)[mask], atol=1e-3)

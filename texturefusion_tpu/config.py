@@ -175,6 +175,20 @@ class ParallelConfig:
     # chunk-partitioned with XLA-inserted collectives (SURVEY.md §2.3
     # "chunk batch is the natural shard axis"). Requires >1 device.
     tsdf_sharded: bool = False
+    # depth of the tracking software pipeline: frame N's host decisions
+    # are finalized `pipeline_depth` frames after its dispatch. Depth 1
+    # plus the background stats-fetch thread hides the link RTT without
+    # delaying keyframe decisions (depth 2 hides more queueing but costs
+    # ~1.7× ATE on the bench loop: one extra frame per keyframe tracks
+    # against a stale reference).
+    pipeline_depth: int = 1
+    # fully asynchronous fusion cycles: each cycle only DISPATCHES device
+    # work + starts device→host copies, and consumes the results (mesh
+    # counts, texture outputs, GC probe) at the start of the NEXT cycle
+    # when the copies have already landed — zero blocking round trips on
+    # the fusion thread. Texture labels/GC then lag one keyframe cycle
+    # (the final flush catches everything up).
+    async_cycle_results: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

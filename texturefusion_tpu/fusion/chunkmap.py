@@ -37,6 +37,12 @@ def _row_occupancy(weight: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
+def _set_origin_rows(origins: jnp.ndarray, idx: jnp.ndarray,
+                     vals: jnp.ndarray) -> jnp.ndarray:
+    return origins.at[idx].set(vals)
+
+
+@jax.jit
 def _reset_rows(batch: "tsdf_ops.ChunkBatch",
                 idx: jnp.ndarray) -> "tsdf_ops.ChunkBatch":
     return tsdf_ops.ChunkBatch(
@@ -110,8 +116,9 @@ class TSDFVolume:
         if not self._pending_obs:
             return
         pend, self._pending_obs = self._pending_obs, []
-        fetched = jax.device_get([(q, u) for _, q, u, _, _ in pend])
-        for (slots, _, _, kf_id, sign), (q_np, u_np) in zip(pend, fetched):
+        from texturefusion_tpu.utils.async_fetch import resolve
+        fetched = [resolve(qu) for _, qu, _, _ in pend]
+        for (slots, _, kf_id, sign), (q_np, u_np) in zip(pend, fetched):
             for s, q, up in zip(slots.tolist(), q_np.tolist(), u_np.tolist()):
                 if not up:
                     continue
@@ -140,8 +147,15 @@ class TSDFVolume:
         self.chunks_created += len(new_slots)
         self.new_since_gc.update(int(s) for s in new_slots)
         origins = new_ids.astype(np.float32) * self.extent
-        self.origins = self.origins.at[jnp.asarray(new_slots)].set(
-            jnp.asarray(origins))
+        # BUCKETED jitted scatter: a fresh slot-count every keyframe would
+        # otherwise compile a new eager scatter each time (~2.5 s per new
+        # shape on the tunneled backend). Pad rows hit the trash row.
+        padded = self._bucket_slots(np.asarray(new_slots, np.int64),
+                                    self.cfg.capacity)
+        vals = np.zeros((len(padded), 3), np.float32)
+        vals[: len(new_slots)] = origins
+        self.origins = _set_origin_rows(self.origins, jnp.asarray(padded),
+                                        jnp.asarray(vals))
 
     # ---------------------------------------------------------- allocator
 
@@ -210,12 +224,8 @@ class TSDFVolume:
         ids, n = tsdf_ops.candidate_chunks_unique(
             depth, cam_to_world, self.intr, self.cfg, stride=stride,
             max_out=max_out)
-        try:
-            ids.copy_to_host_async()
-            n.copy_to_host_async()
-        except Exception:
-            pass
-        return ids, n, max_out
+        from texturefusion_tpu.utils.async_fetch import fetch_async
+        return fetch_async((ids, n)), max_out
 
     def discover_chunks(self, depth: jnp.ndarray, cam_to_world: jnp.ndarray,
                         allocate: bool = True,
@@ -228,15 +238,17 @@ class TSDFVolume:
         # on-device sort-dedup: only [max_out, 3] ids + count cross the link.
         # Discovery stride scales with resolution: at VGA a stride-2 pixel
         # footprint is far below the chunk extent, so nothing is missed.
+        from texturefusion_tpu.utils.async_fetch import resolve
+        from texturefusion_tpu.utils.stopwatch import STOPWATCH
         while True:
             if prefetched is not None:
-                ids_d, n_d, max_out = prefetched
+                fut, max_out = prefetched
                 prefetched = None
             else:
-                ids_d, n_d, max_out = self.dispatch_discovery(
-                    depth, cam_to_world)
-            # ONE batched fetch (single RTT) for ids + count
-            ids, n = jax.device_get((ids_d, n_d))
+                fut, max_out = self.dispatch_discovery(depth, cam_to_world)
+            # fetch runs on the helper thread; usually already landed
+            with STOPWATCH.time("disco_fetch"):
+                ids, n = resolve(fut)
             n = int(n)
             if n < max_out:
                 break
@@ -256,8 +268,9 @@ class TSDFVolume:
             # revisited space: restore offloaded chunks before assignment
             self.streamer.ensure_resident(ids)
         # slot assignment (+dedup safety) in one native pass
-        slots, new_slots = self.alloc.touch(ids, allocate=allocate)
-        self._register_new(new_slots)
+        with STOPWATCH.time("disco_alloc"):
+            slots, new_slots = self.alloc.touch(ids, allocate=allocate)
+            self._register_new(new_slots)
         return slots[slots >= 0]
 
     def _padded(self, slots: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -311,16 +324,13 @@ class TSDFVolume:
                 self.cfg, with_color=with_color)
 
             if with_color and keyframe_id is not None:
-                try:
-                    # start the device→host copy now; the flush (up to a
-                    # cycle later) then reads host-cached bytes instead
-                    # of paying the ~23 ms fetch RTT
-                    quality.copy_to_host_async()
-                    updated.copy_to_host_async()
-                except Exception:
-                    pass
+                # start the device→host fetch now on the helper thread;
+                # the flush (up to a cycle later) reads host-cached bytes
+                # instead of paying the ~20 ms RTT + queue wait
+                from texturefusion_tpu.utils.async_fetch import fetch_async
                 self._pending_obs.append(
-                    (chunk_slots, quality, updated, keyframe_id, sign))
+                    (chunk_slots, fetch_async((quality, updated)),
+                     keyframe_id, sign))
             # dirty superset: every touched slot (fetching the exact
             # `updated` mask would cost a sync; the superset only adds
             # already-meshed empty chunks, which emit nothing)
@@ -349,7 +359,7 @@ class TSDFVolume:
             + [np.eye(4)] * (f_max - len(cam_to_worlds))).astype(np.float32))
         for start in range(0, len(slots), self.cfg.max_update_chunks):
             idx, active = self._padded(slots[start:start + self.cfg.max_update_chunks])
-            self.batch = tsdf_ops.integrate_depths_scan(
+            self.batch = tsdf_ops.integrate_depths_batched(
                 self.batch, self.origins, idx, active, d, p,
                 jnp.float32(sign), self.intr, self.cfg)
 
@@ -379,6 +389,49 @@ class TSDFVolume:
         occ = np.asarray(_row_occupancy(self.batch.weight,
                                         jnp.asarray(padded)))[: len(slots)]
         empty = np.asarray(slots)[occ <= 0.0]
+        self.release(empty)
+        return empty
+
+    def gc_dispatch(self) -> Optional[dict]:
+        """Dispatch the empty-chunk occupancy probe for slots allocated
+        since the last pass and START its host copy — no blocking round
+        trip (pair with gc_consume one fusion cycle later; ref GC role:
+        Chisel.h:184-216). Uses the CURRENT observation dict without
+        flushing (a flush would sync on copies still queued behind this
+        cycle's integrations); candidates are re-checked at consume."""
+        if not self.new_since_gc:
+            return None
+        cand = np.asarray(
+            [s for s in sorted(self.new_since_gc)
+             if self.used[s] and not self._observations.get(s)], np.int64)
+        self.new_since_gc.clear()
+        if len(cand) == 0:
+            return None
+        padded = self._bucket_slots(cand, self.cfg.capacity)
+        occ = _row_occupancy(self.batch.weight, jnp.asarray(padded))
+        from texturefusion_tpu.utils.async_fetch import fetch_async
+        return {"cand": cand, "ids": self.ids[cand].copy(),
+                "occ": fetch_async(occ)}
+
+    def gc_consume(self, pending: Optional[dict]) -> np.ndarray:
+        """Release the probe's empty chunks. Safe against the one-cycle
+        gap: nothing integrates between the probe (end of cycle k) and
+        this consume (start of cycle k+1), and candidates are re-verified
+        (still allocated, same chunk id, still observation-free after the
+        deferred flush) before release."""
+        if pending is None:
+            return np.zeros(0, np.int64)
+        self.flush_observations()   # async copies have landed by now
+        from texturefusion_tpu.utils.async_fetch import resolve
+        cand, ids0 = pending["cand"], pending["ids"]
+        occ = np.asarray(resolve(pending["occ"]))[: len(cand)]
+        keep = []
+        for s, o, cid in zip(cand.tolist(), occ.tolist(), ids0.tolist()):
+            if (o <= 0.0 and self.used[s]
+                    and (self.ids[s] == cid).all()
+                    and not self._observations.get(s)):
+                keep.append(s)
+        empty = np.asarray(keep, np.int64)
         self.release(empty)
         return empty
 

@@ -53,8 +53,11 @@ def pose_drift_costs(current: np.ndarray, integrated: np.ndarray) -> np.ndarray:
     v_inv = (np.eye(3)[None] - 0.5 * k
              + coef[:, None, None] * np.matmul(k, k))
     rho = np.einsum("kij,kj->ki", v_inv, rel_t)
+    # rotation weighted 9×, translation 1× — exactly the reference's
+    # cost = 9·Σ angle² + Σ t² (MapMaintain.hpp:255-257; for small
+    # angles ‖euler‖ ≈ ‖ω‖)
     return (1.0 * np.sum(rho ** 2, axis=-1)
-            + 2.0 * np.sum(omega ** 2, axis=-1)).astype(np.float32)
+            + 9.0 * np.sum(omega ** 2, axis=-1)).astype(np.float32)
 
 
 def select_keyframes_to_update(costs: np.ndarray, max_updates: int = 4,

@@ -46,6 +46,7 @@ class IncrementalMesher:
         self._host_cache: Dict[int, tuple] = {}
         self._cache_valid = False
         self._warned_overflow = False
+        self._pending_counts: list = []   # dispatched, counts not applied
 
     # ------------------------------------------------------------- remesh
 
@@ -64,9 +65,13 @@ class IncrementalMesher:
             out[:, k] = [vol.slot_of.get(tuple(c), trash) for c in nb.tolist()]
         return out
 
-    def update_meshes(self, max_chunks: int = 0) -> int:
-        """Remesh all dirty chunks into the device pool. Returns number
-        remeshed (ref: Chisel.h:479-481 UpdateMeshes)."""
+    def update_meshes_async(self, max_chunks: int = 0) -> int:
+        """Dispatch remeshing of all dirty chunks into the device pool and
+        START the count copies — NO blocking round trip. The host count
+        mirrors are applied by consume_counts (typically one fusion cycle
+        later, when the async copies have already landed) or lazily by
+        the host-view accessors (meshes/_fetch_rows). Returns the number
+        of chunks dispatched."""
         vol = self.volume
         dirty = sorted(vol.dirty_mesh)
         if max_chunks:
@@ -75,17 +80,27 @@ class IncrementalMesher:
         if not dirty:
             return 0
         budget = self.volume.config.mesh.max_mesh_chunks
-        pending = []
         for start in range(0, len(dirty), budget):
-            pending.append(
+            self._pending_counts.append(
                 self._remesh(np.asarray(dirty[start:start + budget],
                                         np.int64)))
-        # ONE batched fetch for every batch's counts (each separate fetch
-        # costs a ~23 ms link RTT; the async copies started at dispatch
-        # usually make this free)
-        fetched = jax.device_get([(vc, tc) for _, vc, tc in pending])
-        for (slots, _, _), (vc, tc) in zip(pending, fetched):
+        for s in dirty:
+            vol.dirty_mesh.discard(s)
+        self._cache_valid = False
+        return len(dirty)
+
+    def consume_counts(self) -> int:
+        """Apply the host count mirrors of prior update_meshes_async calls
+        (ONE batched fetch — free when the async copies finished)."""
+        pending, self._pending_counts = self._pending_counts, []
+        if not pending:
+            return 0
+        n = 0
+        from texturefusion_tpu.utils.async_fetch import resolve
+        fetched = [resolve(fut) for _, fut in pending]
+        for (slots, _), (vc, tc) in zip(pending, fetched):
             n_real = len(slots)
+            n += n_real
             self.vcount[slots] = vc[:n_real]
             self.tcount[slots] = tc[:n_real]
             if not self._warned_overflow and (
@@ -94,10 +109,14 @@ class IncrementalMesher:
                 self._warned_overflow = True
                 warnings.warn("mesh pool per-chunk capacity clamped a "
                               "chunk; raise MeshConfig.pool_verts_per_chunk")
-        for s in dirty:
-            vol.dirty_mesh.discard(s)
-        self._cache_valid = False
-        return len(dirty)
+        return n
+
+    def update_meshes(self, max_chunks: int = 0) -> int:
+        """Remesh all dirty chunks into the device pool. Returns number
+        remeshed (ref: Chisel.h:479-481 UpdateMeshes)."""
+        n = self.update_meshes_async(max_chunks)
+        self.consume_counts()
+        return n
 
     def _remesh(self, slots: np.ndarray):
         """Dispatch one remesh batch; returns (slots, vcount, tcount)
@@ -120,18 +139,15 @@ class IncrementalMesher:
             vol.batch.color_count, jnp.asarray(slots_p), jnp.asarray(nbr_p),
             jnp.asarray(origins_p), active,
             vol.cfg.chunk_size, vol.cfg.voxel_resolution)
-        try:
-            vcount.copy_to_host_async()
-            tcount.copy_to_host_async()
-        except Exception:
-            pass
-        return slots, vcount, tcount
+        from texturefusion_tpu.utils.async_fetch import fetch_async
+        return slots, fetch_async((vcount, tcount))
 
     # ------------------------------------------------------------- host views
 
     def _fetch_rows(self, slots: np.ndarray) -> Dict[int, tuple]:
         """Fetch pool rows for `slots` → {slot: (verts, faces, colors,
         normals)} host arrays (export/freeze path)."""
+        self.consume_counts()   # host mirrors must be current
         out: Dict[int, tuple] = {}
         todo = [int(s) for s in np.atleast_1d(slots).tolist()
                 if self.tcount[int(s)] > 0]
@@ -157,6 +173,7 @@ class IncrementalMesher:
         """Host view of all chunk meshes, fetched lazily from the device
         pool and cached until the next remesh."""
         if not self._cache_valid:
+            self.consume_counts()
             slots = np.nonzero(self.tcount[:-1] > 0)[0]
             self._host_cache = self._fetch_rows(slots)
             self._cache_valid = True
@@ -174,6 +191,7 @@ class IncrementalMesher:
         slots = np.atleast_1d(slots).astype(np.int64)
         if len(slots) == 0:
             return
+        self.consume_counts()   # pending counts must not resurrect these
         self.vcount[slots] = 0
         self.tcount[slots] = 0
         self.pool = _zero_counts(self.pool, jnp.asarray(slots))

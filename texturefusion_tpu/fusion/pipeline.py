@@ -106,7 +106,8 @@ class ReconstructionPipeline:
         self.kf_states: Dict[int, KeyframeFusionState] = {}
         self._disco_prefetch = None     # (kf_slot, dispatched discovery)
         self._last_seen_kf = -1
-        self._inflight: Optional[dict] = None   # pipelined pending frame
+        self._inflight: List[dict] = []  # pipelined pending frames (FIFO)
+        self._gc_pending = None         # deferred GC occupancy probe
         self._dispatch_count = 0
         self._kp_prev = None        # previous frame's keypoints (device)
         self.stats = {"frames": 0, "keyframes": 0, "reintegrations": 0}
@@ -160,17 +161,17 @@ class ReconstructionPipeline:
         MobileFusion.cpp:92-112.)"""
         pending = self._dispatch_frame(depth_raw, rgb, timestamp)
         if self.config.parallel.pipelined_tracking:
-            prev, self._inflight = self._inflight, pending
-            if prev is not None:
-                self._finalize_frame(prev)
+            self._inflight.append(pending)
+            depth = max(1, self.config.parallel.pipeline_depth)
+            while len(self._inflight) > depth:
+                self._finalize_frame(self._inflight.pop(0))
         else:
             self._finalize_frame(pending)
 
     def flush_tracking(self) -> None:
-        """Finalize the in-flight pipelined frame, if any."""
-        if self._inflight is not None:
-            prev, self._inflight = self._inflight, None
-            self._finalize_frame(prev)
+        """Finalize the in-flight pipelined frames, if any."""
+        while self._inflight:
+            self._finalize_frame(self._inflight.pop(0))
 
     def _dispatch_frame(self, depth_raw, rgb, timestamp: float) -> dict:
         """Launch one frame's device step; NO host sync."""
@@ -215,10 +216,9 @@ class ReconstructionPipeline:
                         self.config.tracking, self.config.camera.depth_scale)
                 fused_kf = (f_depth, f_weight)
                 self._kp_prev = kp
-                try:
-                    stats2.copy_to_host_async()
-                except Exception:
-                    pass
+                # absorb the fetch RTT on the helper thread
+                from texturefusion_tpu.utils.async_fetch import fetch_async
+                stats2 = fetch_async(stats2)
             else:
                 bundle = preprocess.preprocess_bundle(
                     depth_raw, rgb, intr,
@@ -249,7 +249,8 @@ class ReconstructionPipeline:
         stats = stats_ff = None
         if p["stats2"] is not None:
             with STOPWATCH.time("t_stats_sync"):
-                s2 = np.asarray(p["stats2"])
+                s2 = p["stats2"]
+                s2 = s2.result() if hasattr(s2, "result") else np.asarray(s2)
             stats, stats_ff = s2[0], s2[1]
         with STOPWATCH.time("tracking"):
             frame = self.slam.update_frame(gray, depth_refined,
@@ -262,11 +263,18 @@ class ReconstructionPipeline:
         self.stats["frames"] += 1
 
         if frame.is_keyframe:
+            rgb_u8 = (rgb * 255).astype(jnp.uint8)
+            try:
+                # atlas blits need the host copy ~1 cycle later; start
+                # the ~1 MB transfer now so rgb_np() finds it landed
+                rgb_u8.copy_to_host_async()
+            except Exception:
+                pass
             self.kf_states[frame.keyframe_slot] = KeyframeFusionState(
                 kf_slot=frame.keyframe_slot,
                 frame_index=frame.index,
                 depth=depth_refined,                      # device-resident
-                rgb=(rgb * 255).astype(jnp.uint8),        # device-resident
+                rgb=rgb_u8,                               # device-resident
                 quality=quality,                          # device-resident
                 local_depths=[], local_rel_poses=[])
             self.stats["keyframes"] += 1
@@ -328,41 +336,57 @@ class ReconstructionPipeline:
             st = self.kf_states.get(slot)
             if st is not None and not st.integrated:
                 self.fusion_cycle(slot)
+        async_mode = self.config.parallel.async_cycle_results
+        if async_mode:
+            # drain deferred results BEFORE the final sync remesh — the
+            # pending counts predate it and must not overwrite its counts
+            self._consume_cycle_results()
         # re-integrate any keyframe whose pose moved since integration
         self._reintegrate_drifted(max_updates=len(self.slam.keyframes))
         self.mesher.update_meshes()
+        if async_mode:
+            # one synchronous texture catch-up cycle over the final
+            # observations/labels, then a final GC pass
+            self._texture_final()
+            freed = self.volume.gc_new_chunks()
+            if len(freed):
+                self.mesher.drop(freed)
 
     # --------------------------------------------------------------- fusion
 
     def _integrate_keyframe(self, st: KeyframeFusionState, sign: float,
                             prefetched=None) -> None:
-        pose = (st.integrated_pose if sign < 0
-                else self.slam.keyframe_pose(st.kf_slot))
-        pose_j = jnp.asarray(pose)
+        with STOPWATCH.time("i_pose"):
+            pose = (st.integrated_pose if sign < 0
+                    else self.slam.keyframe_pose(st.kf_slot))
+            pose_j = jnp.asarray(pose)
         kf_id = st.kf_slot
         if sign < 0 and st.integrated_slots is not None:
             # de-integration must touch EXACTLY the integrated chunk set;
             # reusing it also skips the discovery fetch RTT
             slots = st.integrated_slots
         else:
-            slots = self.volume.discover_chunks(
-                jnp.asarray(st.depth), pose_j, allocate=sign > 0,
-                prefetched=prefetched)
-        slots = self.volume.integrate_frame(
-            jnp.asarray(st.depth),
-            jnp.asarray(st.rgb.astype(np.float32) / 255.0),
-            jnp.asarray(st.quality), pose_j, keyframe_id=kf_id, sign=sign,
-            slots=slots)
+            with STOPWATCH.time("i_disco"):
+                slots = self.volume.discover_chunks(
+                    jnp.asarray(st.depth), pose_j, allocate=sign > 0,
+                    prefetched=prefetched)
+        with STOPWATCH.time("i_frame"):
+            slots = self.volume.integrate_frame(
+                jnp.asarray(st.depth),
+                jnp.asarray(st.rgb.astype(np.float32) / 255.0),
+                jnp.asarray(st.quality), pose_j, keyframe_id=kf_id,
+                sign=sign, slots=slots)
         # local frames: depth-only, reusing the keyframe's chunk set — the
         # local frames view (almost) the same volume (tracked below the
         # disparity gate), so re-discovery per frame is redundant; all of
         # them integrate in ONE scanned dispatch
         # (ref: MobileFusion.cpp:187-203)
         if st.local_depths:
-            self.volume.integrate_local_depths(
-                st.local_depths,
-                [pose @ rel for rel in st.local_rel_poses],
-                slots, sign=sign)
+            with STOPWATCH.time("i_locals"):
+                self.volume.integrate_local_depths(
+                    st.local_depths,
+                    [pose @ rel for rel in st.local_rel_poses],
+                    slots, sign=sign)
         if sign > 0:
             st.integrated_pose = np.asarray(pose)
             st.integrated_slots = slots
@@ -370,8 +394,32 @@ class ReconstructionPipeline:
         else:
             st.integrated = False
 
+    def _consume_cycle_results(self) -> None:
+        """Apply the PREVIOUS cycle's deferred device results — the async
+        copies started a whole keyframe interval ago, so every fetch here
+        is (usually) a free host-memory read instead of a ~20 ms link RTT
+        stalled behind the device queue."""
+        with STOPWATCH.time("consume_mesh"):
+            self.mesher.consume_counts()
+        with STOPWATCH.time("consume_tex"):
+            self._texture_consume()
+        with STOPWATCH.time("consume_gc"):
+            pend, self._gc_pending = self._gc_pending, None
+            if pend is not None:
+                freed = self.volume.gc_consume(pend)
+                if len(freed):
+                    self.mesher.drop(freed)
+
     def fusion_cycle(self, finished_slot: int) -> None:
-        """One map-thread cycle (ref: MobileFusion.cpp:274-406 tsdfFusion)."""
+        """One map-thread cycle (ref: MobileFusion.cpp:274-406 tsdfFusion).
+
+        With parallel.async_cycle_results (the default), the cycle first
+        CONSUMES the previous cycle's deferred results, then only
+        DISPATCHES this cycle's device work and starts the copies — the
+        fusion thread never blocks on the link."""
+        async_mode = self.config.parallel.async_cycle_results
+        if async_mode:
+            self._consume_cycle_results()
         with STOPWATCH.time("reintegration"):
             self._reintegrate_drifted()
         st = self.kf_states.get(finished_slot)
@@ -384,14 +432,20 @@ class ReconstructionPipeline:
                 with STOPWATCH.time("integration"):
                     self._integrate_keyframe(st, sign=1.0, prefetched=pre)
         with STOPWATCH.time("meshing"):
-            self.mesher.update_meshes()
+            if async_mode:
+                self.mesher.update_meshes_async()
+            else:
+                self.mesher.update_meshes()
         self._texture_cycle()
         # post-cycle housekeeping (ref: FinalizeIntegrateChunks GC,
         # Chisel.h:184-216; clearRedudentFrameMemory MobileFusion.cpp:71-90)
         with STOPWATCH.time("gc"):
-            freed = self.volume.gc_new_chunks()
-            if len(freed):
-                self.mesher.drop(freed)
+            if async_mode:
+                self._gc_pending = self.volume.gc_dispatch()
+            else:
+                freed = self.volume.gc_new_chunks()
+                if len(freed):
+                    self.mesher.drop(freed)
             # keyframe memory bound: stage out the OLDEST integrated
             # keyframes when the device-resident keyframe state exceeds
             # its budget (offload itself costs link bandwidth)
@@ -436,6 +490,12 @@ class ReconstructionPipeline:
     def _texture_cycle(self) -> None:
         """Hook for the texture stage (overridden by TexturedPipeline)."""
 
+    def _texture_consume(self) -> None:
+        """Hook: apply the previous cycle's deferred texture results."""
+
+    def _texture_final(self) -> None:
+        """Hook: one synchronous catch-up texture cycle at finish()."""
+
     def _reintegrate_drifted(self, max_updates: int = 4) -> None:
         """De-integrate at the old pose, re-integrate at the optimized pose
         (ref: MobileFusion.cpp:114-221 ReIntegrateKeyframe; scheduling
@@ -453,9 +513,12 @@ class ReconstructionPipeline:
                   f"mean={costs.mean():.2e} picked={picked}")
         for i in picked:
             st = self.kf_states[slots[i]]
-            self.volume.retract_observations(st.kf_slot)
-            self._integrate_keyframe(st, sign=-1.0)   # de-integrate @ old pose
-            self._integrate_keyframe(st, sign=+1.0)   # re-integrate @ new pose
+            with STOPWATCH.time("r_retract"):
+                self.volume.retract_observations(st.kf_slot)
+            with STOPWATCH.time("r_deint"):
+                self._integrate_keyframe(st, sign=-1.0)  # de-int @ old pose
+            with STOPWATCH.time("r_reint"):
+                self._integrate_keyframe(st, sign=+1.0)  # re-int @ new pose
             self.stats["reintegrations"] += 1
 
     # --------------------------------------------------------------- export
@@ -550,24 +613,50 @@ class TexturedPipeline(ReconstructionPipeline):
         from texturefusion_tpu.texture.manager import TextureManager
         self.texture = TextureManager(config)
 
-    def _texture_cycle(self) -> None:
+    def _tex_states(self) -> dict:
         import types
+        tex_states = {}
+        # snapshot: the tracking thread adds keyframes concurrently.
+        # rgb stays the DEVICE uint8 buffer (projection converts on
+        # device); atlas blits use the lazily cached host copy.
+        for slot, st in list(self.kf_states.items()):
+            tex_states[slot] = types.SimpleNamespace(
+                pose=self.slam.keyframe_pose(slot),
+                rgb=st.rgb,
+                rgb_host=st.rgb_np,
+                depth=st.depth)
+        return tex_states
+
+    def _texture_cycle(self) -> None:
         if not self.slam.keyframes:
             return
+        async_mode = self.config.parallel.async_cycle_results
         with STOPWATCH.time("texture"):
-            tex_states = {}
-            # snapshot: the tracking thread adds keyframes concurrently.
-            # rgb stays the DEVICE uint8 buffer (projection converts on
-            # device); atlas blits use the lazily cached host copy.
-            for slot, st in list(self.kf_states.items()):
-                tex_states[slot] = types.SimpleNamespace(
-                    pose=self.slam.keyframe_pose(slot),
-                    rgb=st.rgb,
-                    rgb_host=st.rgb_np,
-                    depth=st.depth)
-            self.texture.update(self.volume, self.mesher, tex_states,
+            self.texture.update_dispatch(
+                self.volume, self.mesher, self._tex_states(),
+                newest_kf=len(self.slam.keyframes) - 1,
+                remeshed=self.mesher.last_remeshed,
+                flush_obs=not async_mode)
+            if not async_mode:
+                self.texture.update_consume()
+
+    def _texture_consume(self) -> None:
+        self.texture.update_consume()
+
+    def _texture_final(self) -> None:
+        """Synchronous catch-up cycle: every meshed chunk re-selected and
+        (re)patched against the FINAL observations and BA poses."""
+        if not self.slam.keyframes:
+            return
+        want = set(np.nonzero(self.mesher.tcount[:-1] > 0)[0].tolist())
+        for _ in range(16):     # budget-limited passes until caught up
+            self.texture.update(self.volume, self.mesher,
+                                self._tex_states(),
                                 newest_kf=len(self.slam.keyframes) - 1,
-                                remeshed=self.mesher.last_remeshed)
+                                remeshed=want)
+            want = set()
+            if not self.texture._carry:
+                break
 
     def export_textured(self, out_dir: str, name: str = "model") -> str:
         return self.texture.export_textured(self.mesher, out_dir, name)

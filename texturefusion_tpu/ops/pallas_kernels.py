@@ -32,12 +32,16 @@ def _on_tpu() -> bool:
 def _bilateral_kernel(radius, sigma_space, sigma_range, tile_h, halo,
                       d_ref, out_ref):
     """Grid over row bands; d_ref is the full halo-padded image in VMEM,
-    out_ref the band [tile_h, W] owned by this program."""
+    out_ref the band [tile_h, W] owned by this program. Column shifts use
+    pltpu.roll + an edge mask (lane-aligned concatenates are not
+    expressible in Mosaic's vector layout)."""
     i = pl.program_id(0)
     band = d_ref[pl.ds(i * tile_h, tile_h + 2 * halo), :]
+    w_img = band.shape[1]
     inv_2sr = 1.0 / (2.0 * sigma_range * sigma_range)
     center = band[halo:halo + tile_h, :]
     valid = center > 0.0
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_img), 1)
     acc = jnp.zeros_like(center)
     wacc = jnp.zeros_like(center)
     for dy in range(-radius, radius + 1):
@@ -45,12 +49,12 @@ def _bilateral_kernel(radius, sigma_space, sigma_range, tile_h, halo,
         for dx in range(-radius, radius + 1):
             if dx == 0:
                 nb = row
-            elif dx > 0:
-                nb = jnp.concatenate(
-                    [row[:, dx:], jnp.zeros((tile_h, dx), row.dtype)], axis=1)
             else:
-                nb = jnp.concatenate(
-                    [jnp.zeros((tile_h, -dx), row.dtype), row[:, :dx]], axis=1)
+                # value at column c comes from source column c+dx
+                # (roll shift must be non-negative: wrap by width)
+                nb = pltpu.roll(row, (-dx) % w_img, 1)
+                nb = jnp.where((col + dx >= 0) & (col + dx < w_img),
+                               nb, 0.0)
             w_s = float(np.exp(-(dy * dy + dx * dx)
                                / (2.0 * sigma_space * sigma_space)))
             diff = nb - center

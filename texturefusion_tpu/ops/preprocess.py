@@ -44,7 +44,17 @@ def bilateral_filter(depth: jnp.ndarray, radius: int = 4,
     Matches cv::bilateralFilter(9, 0.03, ~4.5) in framePreprocess
     (ref: BasicAPI.cpp:942-997; DatasetWrapper.hpp:188). Invalid (0) depths
     contribute nothing and stay 0.
+
+    On TPU the hand-written Pallas kernel runs instead: the 81-tap XLA
+    stencil materializes one HBM-sized temporary per shifted tap, while
+    the Pallas version keeps the image resident in VMEM and accumulates
+    on the VPU (ops/pallas_kernels.py).
     """
+    from texturefusion_tpu.ops import pallas_kernels
+    if pallas_kernels._on_tpu():
+        return pallas_kernels.bilateral_filter_pallas(
+            depth, radius=radius, sigma_space=sigma_space,
+            sigma_range=sigma_range)
     valid = depth > 0
     acc = jnp.zeros_like(depth)
     wacc = jnp.zeros_like(depth)

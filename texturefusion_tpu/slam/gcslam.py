@@ -135,8 +135,9 @@ class GCSLAM:
             if self._poses_pending is not None:
                 dev, bucket = self._poses_pending
                 self._poses_pending = None
-                self._poses_np[:bucket] = np.asarray(dev).reshape(bucket,
-                                                                  4, 4)
+                from texturefusion_tpu.utils.async_fetch import resolve
+                self._poses_np[:bucket] = np.asarray(resolve(dev)).reshape(
+                    bucket, 4, 4)
 
     @property
     def last_keyframe(self) -> Optional[KeyframeRecord]:
@@ -251,11 +252,8 @@ class GCSLAM:
         # (1D transfer; 2D/3D fetches relayout pathologically on the
         # tunneled backend)
         self.last_ba_errors = list(errs)
-        flat = new_poses.reshape(-1)
-        try:
-            flat.copy_to_host_async()
-        except Exception:
-            pass
+        from texturefusion_tpu.utils.async_fetch import fetch_async
+        flat = fetch_async(new_poses.reshape(-1))
         # publish under the pose lock: _sync_poses (fusion thread) does a
         # read-then-clear of the same field — an unguarded store here can
         # interleave and silently drop a whole BA round's poses

@@ -113,8 +113,14 @@ class Atlas:
 
     def save_textured_model(self, out_dir: str, verts: np.ndarray,
                             faces: np.ndarray, atlas_uvs: np.ndarray,
-                            name: str = "model") -> str:
-        """OBJ + MTL + PNG export (ref: Atlas.cpp:93-179 SaveTexturedModel)."""
+                            name: str = "model",
+                            vertex_colors: Optional[np.ndarray] = None
+                            ) -> str:
+        """OBJ + MTL + PNG export (ref: Atlas.cpp:93-179 SaveTexturedModel).
+        `vertex_colors` [N, 3] float 0..1 appends per-vertex compensated
+        colors to the `v` records (widely-read OBJ extension) — the
+        per-vertex quantity the reference feeds its shader
+        (ref: Chisel.cpp:270-284)."""
         import cv2
         os.makedirs(out_dir, exist_ok=True)
         png = os.path.join(out_dir, f"{name}.png")
@@ -126,8 +132,13 @@ class Atlas:
         obj_path = os.path.join(out_dir, f"{name}.obj")
         with open(obj_path, "w") as f:
             f.write(f"mtllib {name}.mtl\nusemtl textured\n")
-            for v in verts:
-                f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+            if vertex_colors is not None:
+                for v, c in zip(verts, np.clip(vertex_colors, 0.0, 1.0)):
+                    f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f} "
+                            f"{c[0]:.4f} {c[1]:.4f} {c[2]:.4f}\n")
+            else:
+                for v in verts:
+                    f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
             for t in atlas_uvs:
                 f.write(f"vt {t[0]:.6f} {t[1]:.6f}\n")
             for tri in faces + 1:

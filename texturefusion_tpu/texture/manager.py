@@ -65,6 +65,7 @@ class TextureManager:
         self._stats_dev = None       # [S+1, STATS_W] f32 color moments
         self._carry: set = set()     # remeshed chunks deferred past budget
         self._kf_transfer: Optional[dict] = None
+        self._pending_cycle: Optional[dict] = None  # dispatched, unconsumed
 
     def _ensure_state(self, mesher) -> None:
         s1 = mesher.pool.verts.shape[0]
@@ -81,9 +82,14 @@ class TextureManager:
         if kf_slot not in self.kf_stack.present:
             self.kf_stack.add(kf_slot, rgb_u8, depth, pose)
 
-    def update(self, volume, mesher, kf_states: Dict[int, object],
-               newest_kf: int, remeshed: Optional[set] = None) -> None:
-        """One texture cycle (see module docstring)."""
+    def update_dispatch(self, volume, mesher, kf_states: Dict[int, object],
+                        newest_kf: int, remeshed: Optional[set] = None,
+                        flush_obs: bool = True) -> None:
+        """DISPATCH one texture cycle's device program and start the
+        result copies — no blocking round trip. Pair with update_consume
+        (typically at the start of the next fusion cycle, when the async
+        copies have landed; ref role: TexMap.cpp:257-406 view_selection +
+        GeneratePatches, pipelined one keyframe deep here)."""
         from texturefusion_tpu.utils.stopwatch import STOPWATCH
         with STOPWATCH.time("tex_adjacency"):
             adjacency = mesher.chunk_adjacency()
@@ -91,8 +97,13 @@ class TextureManager:
             return
         self._ensure_state(mesher)
         with STOPWATCH.time("tex_build"):
+            # async cycles read the UNFLUSHED observation dict — flushing
+            # would sync on copies still queued behind this cycle's
+            # integrations; the newest keyframe's entries land next cycle
+            obs = (volume.observations if flush_obs
+                   else volume._observations)
             problem, slots, label_kf_np = self.selector.build_problem(
-                volume.observations, adjacency, volume.ids, newest_kf)
+                obs, adjacency, volume.ids, newest_kf)
             if problem is None:
                 return
             n = problem.unary.shape[0]
@@ -120,8 +131,29 @@ class TextureManager:
                     jnp.asarray(self.kf_stack.poses),
                     jnp.int32(fallback_kf), self.intr, self.cfg,
                     self.cfg.mrf_sweeps, self.cfg.patch_project_budget)
+            from texturefusion_tpu.utils.async_fetch import fetch_async
+            out = fetch_async(tuple(out))
+        self._pending_cycle = {
+            "out": out, "slots": slots, "want": want,
+            "adjacency_slots": set(adjacency), "volume": volume,
+            "mesher": mesher, "kf_states": dict(kf_states)}
+
+    def update_consume(self) -> None:
+        """Apply a prior update_dispatch's results: atlas blits, uv/label
+        bookkeeping, wrong-mapping poisoning, per-keyframe transfers."""
+        from texturefusion_tpu.utils.stopwatch import STOPWATCH
+        p = self._pending_cycle
+        if not p:
+            return
+        self._pending_cycle = None
+        volume, mesher = p["volume"], p["mesher"]
+        slots, want = p["slots"], p["want"]
+        adjacency = p["adjacency_slots"]
+        kf_states = p["kf_states"]
+        with STOPWATCH.time("tex_fetch"):
+            from texturefusion_tpu.utils.async_fetch import resolve
             (rows, proj_kf, n_changed, uv16, uv_ok, bmin, bmax, wrong,
-             t_np, mt_np, mv_np) = jax.device_get(tuple(out))
+             t_np, mt_np, mv_np) = resolve(p["out"])
 
         with STOPWATCH.time("tex_host"):
             m = int(min(int(n_changed), self.cfg.patch_project_budget))
@@ -178,6 +210,14 @@ class TextureManager:
                 for kf in sorted(kf_states) if kf < len(t_np)
             }
 
+    def update(self, volume, mesher, kf_states: Dict[int, object],
+               newest_kf: int, remeshed: Optional[set] = None) -> None:
+        """One SYNCHRONOUS texture cycle: dispatch + immediate consume
+        (final flush / non-pipelined callers)."""
+        self.update_dispatch(volume, mesher, kf_states, newest_kf,
+                             remeshed=remeshed)
+        self.update_consume()
+
     def bake_compensation_into_atlas(self) -> int:
         """Apply each patch's keyframe color transfer to its atlas tile so
         exported textures carry the global color consistency (the
@@ -204,11 +244,42 @@ class TextureManager:
 
     # ------------------------------------------------------------- export
 
+    def _sample_atlas(self, uv: np.ndarray) -> np.ndarray:
+        """Bilinear sample of the atlas image at normalized uv [P, 2]
+        (v up, OBJ convention) → [P, 3] float 0..1."""
+        sz = self.atlas.size
+        x = np.clip(uv[:, 0] * (sz - 1), 0, sz - 1)
+        y = np.clip((1.0 - uv[:, 1]) * (sz - 1), 0, sz - 1)
+        x0 = np.floor(x).astype(np.int64)
+        y0 = np.floor(y).astype(np.int64)
+        x1 = np.minimum(x0 + 1, sz - 1)
+        y1 = np.minimum(y0 + 1, sz - 1)
+        fx = (x - x0)[:, None]
+        fy = (y - y0)[:, None]
+        img = self.atlas.image.astype(np.float32) / 255.0
+        return ((img[y0, x0] * (1 - fx) + img[y0, x1] * fx) * (1 - fy)
+                + (img[y1, x0] * (1 - fx) + img[y1, x1] * fx) * fy)
+
     def export_textured(self, mesher, out_dir: str, name: str = "model") -> str:
-        """Textured OBJ+MTL+PNG of all patched chunks
-        (ref: Atlas.cpp:93-179)."""
+        """Textured OBJ+MTL+PNG of all patched chunks with PER-VERTEX
+        compensated colors (ref: Atlas.cpp:93-179 SaveTexturedModel;
+        per-vertex corrected colors Chisel.cpp:270-284 + the wrong-mapping
+        voxel-color fallback draw_mesh.vert:29-70).
+
+        The keyframe color transfer is baked per-pixel into the atlas
+        tiles; each vertex additionally carries its corrected color
+        (delta = corrected − raw sample, stored in ChunkTexture
+        .color_adjust exactly like the reference packs it for the
+        shader), with vertices whose projection is invalid falling back
+        to the fused voxel color."""
+        # raw per-vertex samples BEFORE the bake (delta base)
+        raw_samples = {}
+        for slot in sorted(self.chunk_tex):
+            tex = self.chunk_tex[slot]
+            if tex.atlas_uv is not None:
+                raw_samples[slot] = self._sample_atlas(tex.atlas_uv)
         self.bake_compensation_into_atlas()
-        vs, fs, uvs = [], [], []
+        vs, fs, uvs, cols = [], [], [], []
         base = 0
         for slot in sorted(self.chunk_tex):
             tex = self.chunk_tex[slot]
@@ -216,8 +287,17 @@ class TextureManager:
                 continue
             v, f, c, n = mesher.meshes[slot]
             k = min(len(v), len(tex.atlas_uv))
+            corrected = self._sample_atlas(tex.atlas_uv[:k])
+            tex.color_adjust = corrected - raw_samples[slot][:k]
+            col = corrected
+            if tex.uv_valid is not None:
+                # wrong-mapping fallback: invalid projections show the
+                # globally consistent fused voxel color
+                ok = np.asarray(tex.uv_valid[:k], bool)
+                col = np.where(ok[:, None], col, c[:k])
             vs.append(v[:k])
             uvs.append(tex.atlas_uv[:k])
+            cols.append(col)
             f_ok = f[(f < k).all(axis=1)]
             fs.append(f_ok + base)
             base += k
@@ -225,4 +305,5 @@ class TextureManager:
             raise RuntimeError("no textured chunks to export")
         return self.atlas.save_textured_model(
             out_dir, np.concatenate(vs), np.concatenate(fs),
-            np.concatenate(uvs), name)
+            np.concatenate(uvs), name,
+            vertex_colors=np.concatenate(cols))
