@@ -65,6 +65,13 @@ class TrackingConfig:
     blur_threshold: float = 3.0        # ref: BasicAPI.cpp:1256-1266 Laplacian gate
     use_icp: bool = False              # settings.yaml use_icp_registration
     icp_weight: float = 0.5            # settings.yaml icp_weight
+    # deferred keyframe adoption: promote with the (already-fetched)
+    # tracked pose immediately and consume the loop-closure probe + run
+    # BA one frame later, off the tracking critical path. The reference
+    # blocks its tracking thread on update_keyframe (GCSLAM.cpp:52-185)
+    # because its per-candidate match is ~1 ms of CPU; on a tunneled
+    # accelerator the probe fetch costs a ~22 ms link RTT.
+    defer_promote: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

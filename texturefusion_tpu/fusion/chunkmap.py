@@ -110,6 +110,18 @@ class TSDFVolume:
         self._pending_obs = []
         self._observations = value
 
+    @property
+    def observations_unflushed(self) -> Dict[int, Dict[int, float]]:
+        """The observation table WITHOUT resolving pending device fetches.
+
+        Staleness contract: entries from integrations whose quality fetch
+        has not been flushed are missing, and entries retracted by a
+        de-integration whose flush is pending are still present — both
+        self-correct at the next flush (the async texture cycle reads
+        this view and tolerates the one-cycle lag; the final catch-up
+        cycle always reads the flushed `observations`)."""
+        return self._observations
+
     def flush_observations(self) -> None:
         """Apply deferred per-chunk observation-quality updates
         (ONE batched device_get for all pending integrations)."""
@@ -117,7 +129,9 @@ class TSDFVolume:
             return
         pend, self._pending_obs = self._pending_obs, []
         from texturefusion_tpu.utils.async_fetch import resolve
-        fetched = [resolve(qu) for _, qu, _, _ in pend]
+        from texturefusion_tpu.utils.stopwatch import STOPWATCH
+        with STOPWATCH.time("obs_resolve"):
+            fetched = [resolve(qu) for _, qu, _, _ in pend]
         for (slots, _, kf_id, sign), (q_np, u_np) in zip(pend, fetched):
             for s, q, up in zip(slots.tolist(), q_np.tolist(), u_np.tolist()):
                 if not up:
@@ -337,6 +351,61 @@ class TSDFVolume:
             self._mark_dirty(chunk_slots)
         return all_slots
 
+    def reintegrate_frame(
+        self,
+        depth: jnp.ndarray,
+        rgb: jnp.ndarray,
+        quality_map: jnp.ndarray,
+        pose_old: jnp.ndarray,
+        pose_new: jnp.ndarray,
+        keyframe_id: int,
+        slots: np.ndarray,
+    ) -> np.ndarray:
+        """Fused de-integrate @ pose_old + re-integrate @ pose_new over a
+        KNOWN chunk set (the keyframe's recorded integrated slots — the
+        reference reuses kf.validChunks the same way,
+        ref: MobileFusion.cpp:128-143): one program, one row gather, no
+        discovery fetch. Caller must retract the keyframe's observations
+        first; the re-integration's quality entries are re-added here."""
+        for start in range(0, len(slots), self.cfg.max_update_chunks):
+            chunk_slots = slots[start:start + self.cfg.max_update_chunks]
+            idx, active = self._padded(chunk_slots)
+            self.batch, quality, updated = tsdf_ops.reintegrate_frame_fused(
+                self.batch, self.origins, idx, active, depth, rgb,
+                quality_map, pose_old, pose_new, self.intr, self.cfg)
+            from texturefusion_tpu.utils.async_fetch import fetch_async
+            self._pending_obs.append(
+                (chunk_slots, fetch_async((quality, updated)),
+                 keyframe_id, 1.0))
+            self._mark_dirty(chunk_slots)
+        return slots
+
+    def reintegrate_local_depths(self, depths: List[jnp.ndarray],
+                                 poses_old: List[np.ndarray],
+                                 poses_new: List[np.ndarray],
+                                 slots: np.ndarray) -> None:
+        """Fused de+re-integration of a keyframe's local depth frames:
+        old-pose frames enter with sign −1 and new-pose frames with +1
+        in ONE combined pass over the chunk rows (the running average
+        commutes — see integrate_depths_batched)."""
+        if len(depths) == 0 or len(slots) == 0:
+            return
+        f_max = max(self.cfg.local_frames_per_keyframe, len(depths))
+        zero = jnp.zeros((self.intr.height, self.intr.width), jnp.float32)
+        pad_n = f_max - len(depths)
+        d1 = [jnp.asarray(x) for x in depths] + [zero] * pad_n
+        d = jnp.stack(d1 + d1)
+        eye = [np.eye(4)] * pad_n
+        p = jnp.asarray(np.stack(
+            list(poses_old) + eye + list(poses_new) + eye).astype(np.float32))
+        signs = jnp.asarray([-1.0] * f_max + [1.0] * f_max, jnp.float32)
+        for start in range(0, len(slots), self.cfg.max_update_chunks):
+            idx, active = self._padded(
+                slots[start:start + self.cfg.max_update_chunks])
+            self.batch = tsdf_ops.integrate_depths_batched(
+                self.batch, self.origins, idx, active, d, p,
+                signs, self.intr, self.cfg)
+
     def integrate_local_depths(self, depths: List[jnp.ndarray],
                                cam_to_worlds: List[np.ndarray],
                                slots: np.ndarray,
@@ -423,8 +492,10 @@ class TSDFVolume:
             return np.zeros(0, np.int64)
         self.flush_observations()   # async copies have landed by now
         from texturefusion_tpu.utils.async_fetch import resolve
+        from texturefusion_tpu.utils.stopwatch import STOPWATCH
         cand, ids0 = pending["cand"], pending["ids"]
-        occ = np.asarray(resolve(pending["occ"]))[: len(cand)]
+        with STOPWATCH.time("gc_occ_resolve"):
+            occ = np.asarray(resolve(pending["occ"]))[: len(cand)]
         keep = []
         for s, o, cid in zip(cand.tolist(), occ.tolist(), ids0.tolist()):
             if (o <= 0.0 and self.used[s]
@@ -432,7 +503,8 @@ class TSDFVolume:
                     and not self._observations.get(s)):
                 keep.append(s)
         empty = np.asarray(keep, np.int64)
-        self.release(empty)
+        with STOPWATCH.time("gc_release"):
+            self.release(empty)
         return empty
 
     def gc_new_chunks(self) -> np.ndarray:

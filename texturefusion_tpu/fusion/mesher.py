@@ -97,7 +97,9 @@ class IncrementalMesher:
             return 0
         n = 0
         from texturefusion_tpu.utils.async_fetch import resolve
-        fetched = [resolve(fut) for _, fut in pending]
+        from texturefusion_tpu.utils.stopwatch import STOPWATCH
+        with STOPWATCH.time("mesh_counts_resolve"):
+            fetched = [resolve(fut) for _, fut in pending]
         for (slots, _), (vc, tc) in zip(pending, fetched):
             n_real = len(slots)
             n += n_real

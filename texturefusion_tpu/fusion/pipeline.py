@@ -513,12 +513,42 @@ class ReconstructionPipeline:
                   f"mean={costs.mean():.2e} picked={picked}")
         for i in picked:
             st = self.kf_states[slots[i]]
+            pose_new = self.slam.keyframe_pose(st.kf_slot)
+            pose_old = st.integrated_pose
+            # the recorded chunk set (ref: kf.validChunks reuse,
+            # MobileFusion.cpp:128-143) stays valid when the corrected
+            # pose moved less than a fraction of the chunk extent:
+            # camera translation plus the far-plane sweep of the rotation
+            delta = float(np.linalg.norm(pose_new[:3, 3] - pose_old[:3, 3]))
+            cosang = (np.trace(pose_new[:3, :3].T @ pose_old[:3, :3]) - 1) / 2
+            ang = float(np.arccos(np.clip(cosang, -1.0, 1.0)))
+            sweep = delta + 2.0 * np.sin(min(ang, np.pi) / 2) * self.intr.far
+            reuse = (st.integrated_slots is not None
+                     and sweep < 0.5 * self.volume.extent)
             with STOPWATCH.time("r_retract"):
                 self.volume.retract_observations(st.kf_slot)
-            with STOPWATCH.time("r_deint"):
-                self._integrate_keyframe(st, sign=-1.0)  # de-int @ old pose
-            with STOPWATCH.time("r_reint"):
-                self._integrate_keyframe(st, sign=+1.0)  # re-int @ new pose
+            if reuse:
+                # fused de+re-integration: one program over one gather of
+                # the recorded chunk rows, zero discovery fetches
+                with STOPWATCH.time("r_fused"):
+                    self.volume.reintegrate_frame(
+                        jnp.asarray(st.depth),
+                        jnp.asarray(st.rgb.astype(np.float32) / 255.0),
+                        jnp.asarray(st.quality),
+                        jnp.asarray(pose_old), jnp.asarray(pose_new),
+                        st.kf_slot, st.integrated_slots)
+                    if st.local_depths:
+                        self.volume.reintegrate_local_depths(
+                            st.local_depths,
+                            [pose_old @ r for r in st.local_rel_poses],
+                            [pose_new @ r for r in st.local_rel_poses],
+                            st.integrated_slots)
+                st.integrated_pose = np.asarray(pose_new)
+            else:
+                with STOPWATCH.time("r_deint"):
+                    self._integrate_keyframe(st, sign=-1.0)  # @ old pose
+                with STOPWATCH.time("r_reint"):
+                    self._integrate_keyframe(st, sign=+1.0)  # @ new pose
             self.stats["reintegrations"] += 1
 
     # --------------------------------------------------------------- export
@@ -655,8 +685,8 @@ class TexturedPipeline(ReconstructionPipeline):
                                 newest_kf=len(self.slam.keyframes) - 1,
                                 remeshed=want)
             want = set()
-            if not self.texture._carry:
-                break
+            if not self.texture._carry or self.texture.atlas.overflowed:
+                break   # caught up, or no atlas space left to place work
 
     def export_textured(self, out_dir: str, name: str = "model") -> str:
         return self.texture.export_textured(self.mesher, out_dir, name)

@@ -1,0 +1,293 @@
+"""Pallas TSDF voxel-update kernel: the hot integrate/de-integrate path.
+
+Hand-written TPU kernel with the same semantics as the XLA formulation in
+ops/tsdf.py:integrate_chunks (which remains the cross-backend fallback and
+the bit-parity test oracle) — both re-designs of open_chisel's AVX2 kernel
+(ref: 3rd_party/open_chisel/utils/ProjectionIntegrator.cpp:67-426
+voxelUpdateSIMD; signed-weight de-integration :94-99; color saturation
+:201-305; partial-observation quality veto :212-238).
+
+Kernel design (VMEM-resident, one HBM row read+write per touched chunk):
+  * grid = one step per chunk slot; the slot list arrives as a
+    scalar-prefetch operand and drives the BlockSpec index_map, so each
+    step's TSDF rows are DMA'd straight from their HBM slot row and
+    written back in place (input_output_aliases) — no gathered sub-batch
+    copies, no scatter pass.
+  * the packed [5, H, W] image (depth | rgb×255 | quality) lives whole
+    in VMEM (~6 MB at VGA f32).
+  * the per-voxel image sample — an arbitrary 2D gather, which the VPU
+    cannot do directly — becomes TWO lane/sublane `dynamic_gather`s over
+    a WIN-row window of the image: first select the voxels' columns
+    (gather along lanes), then their rows (gather along sublanes). The
+    window covers the chunk's projected v-extent; chunks closer than
+    ~extent·fy/WIN (≈0.65 m at VGA/2 cm) can overflow it — those voxels
+    are masked out and the caller's fallback handles the frame (the
+    wrapper checks the near plane; see integrate_rows_pallas).
+  * voxel colors are stored [V, 3] interleaved in HBM; the kernel views
+    the row as [1, 3V] lanes and de/re-interleaves channels with a
+    static lane permutation (one dynamic_gather each way).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from texturefusion_tpu.config import TSDFConfig
+from texturefusion_tpu.core import camera as cam
+
+RESET_SDF = 999.0
+
+
+def _voxel_lane_coords(chunk: int, v_pad: int):
+    """Per-lane voxel (x, y, z) integer coords, [1, v_pad] (x fastest)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, v_pad), 1)
+    vx = lane % chunk
+    vy = (lane // chunk) % chunk
+    vz = lane // (chunk * chunk)
+    return lane, vx, vy, vz
+
+
+def _sample_window(plane_ref, v0, dv, du, win: int, w_img: int):
+    """plane_ref: [H, W] VMEM ref. Sample plane[dv[j], du[j]] for each
+    voxel lane j via two dynamic_gathers over a [win, W] row window at
+    v0: first select each voxel's COLUMN (lane gather), then its ROW
+    (sublane gather). dv/du: [1, V] int32 pre-clamped to the image.
+    Works in L = max(V, W) lanes. Returns ([1, V] f32, in-window mask)."""
+    v_pad = du.shape[1]
+    lanes = max(v_pad, w_img)
+    winv = plane_ref[pl.ds(v0, win), :]                    # [win, W]
+    if lanes > w_img:
+        winv = jnp.pad(winv, ((0, 0), (0, lanes - w_img)))
+    du_l = du if v_pad == lanes else jnp.pad(du, ((0, 0), (0, lanes - v_pad)))
+    cols = jnp.take_along_axis(winv, jnp.broadcast_to(du_l, (win, lanes)),
+                               axis=1)                     # [win, L]
+    dvr = dv - v0
+    inwin = (dvr >= 0) & (dvr < win)
+    dvr_l = jnp.clip(dvr, 0, win - 1)
+    if v_pad != lanes:
+        dvr_l = jnp.pad(dvr_l, ((0, 0), (0, lanes - v_pad)))
+    rows = jnp.take_along_axis(cols, jnp.broadcast_to(dvr_l, (win, lanes)),
+                               axis=0)                     # [win, L]
+    return rows[0:1, :v_pad], inwin
+
+
+def _voxel_kernel(idx_ref, active_ref, origin_ref, pose_ref, sign_ref,
+                  img_ref, sdf_ref, w_ref, col_ref, cc_ref,
+                  sdf_out, w_out, col_out, cc_out, q_out,
+                  *, intr: cam.Intrinsics, cfg: TSDFConfig, win: int,
+                  v_pad: int, with_color: bool):
+    i = pl.program_id(0)
+    active = active_ref[i] > 0
+    chunk = cfg.chunk_size
+    v_real = chunk ** 3
+    res = cfg.voxel_resolution
+    res_diag = float(np.sqrt(3.0)) * res
+    h_img, w_img = intr.height, intr.width
+
+    lane, vx, vy, vz = _voxel_lane_coords(chunk, v_pad)
+    lane_ok = lane < v_real
+
+    # world position of each voxel centroid
+    ox = origin_ref[i, 0]
+    oy = origin_ref[i, 1]
+    oz = origin_ref[i, 2]
+    wx = ox + (vx.astype(jnp.float32) + 0.5) * res
+    wy = oy + (vy.astype(jnp.float32) + 0.5) * res
+    wz = oz + (vz.astype(jnp.float32) + 0.5) * res
+
+    # world→camera (row-major 4×4 in SMEM)
+    def tc(px, py, pz, r):
+        return (pose_ref[r * 4 + 0] * px + pose_ref[r * 4 + 1] * py
+                + pose_ref[r * 4 + 2] * pz + pose_ref[r * 4 + 3])
+
+    cx_ = tc(wx, wy, wz, 0)
+    cy_ = tc(wx, wy, wz, 1)
+    cz_ = tc(wx, wy, wz, 2)
+
+    # pinhole projection (ref: PinholeCamera project)
+    zsafe = jnp.where(cz_ > 1e-6, cz_, 1.0)
+    uf = intr.fx * cx_ / zsafe + intr.cx
+    vf = intr.fy * cy_ / zsafe + intr.cy
+    ui = jnp.round(uf).astype(jnp.int32)
+    vi = jnp.round(vf).astype(jnp.int32)
+    in_img = ((ui > 0) & (ui < w_img - 1) & (vi > 0) & (vi < h_img - 1)
+              & (cz_ > 0))
+    du = jnp.clip(ui, 0, w_img - 1)
+    dv = jnp.clip(vi, 0, h_img - 1)
+
+    # window start: median-free cheap center = min over in-image voxels
+    dv_for_min = jnp.where(in_img & lane_ok, dv, h_img - 1)
+    v0 = jnp.clip(jnp.min(dv_for_min), 0, max(h_img - win, 0))
+
+    d_s, inwin = _sample_window(img_ref.at[0], v0, dv, du, win, w_img)
+    in_img = in_img & inwin
+    d = jnp.where(in_img, d_s, 0.0)
+    surface_dist = d - cz_
+
+    # truncation once per chunk at the chunk origin's camera depth
+    oz_cam = (pose_ref[8] * ox + pose_ref[9] * oy + pose_ref[10] * oz
+              + pose_ref[11])
+    trunc = jnp.abs(cfg.truncation_quad * oz_cam * oz_cam
+                    + cfg.truncation_linear * oz_cam
+                    + cfg.truncation_const) * cfg.truncation_scale
+
+    depth_ok = (d > intr.near) & (d < intr.far)
+    band = (surface_dist > -0.03) & (surface_dist < trunc + res_diag)
+    sign = sign_ref[0]
+    upd = in_img & depth_ok & band & active & lane_ok
+
+    sdf = sdf_ref[0:1, :]
+    wgt = w_ref[0:1, :]
+    w_in = jnp.where(upd, cfg.integration_weight * sign, 0.0)
+    new_w = wgt + w_in
+    new_sdf = (sdf * wgt + surface_dist * w_in) / (new_w + 1e-4)
+    new_sdf = jnp.where(upd, new_sdf, sdf)
+    new_w = jnp.where(upd, new_w, wgt)
+    dead = upd & (new_w <= cfg.min_weight)
+    new_sdf = jnp.where(dead, RESET_SDF, new_sdf)
+    new_w = jnp.where(dead, 0.0, new_w)
+    sdf_out[0:1, :] = new_sdf
+    w_out[0:1, :] = new_w
+
+    if with_color:
+        color_band = jnp.abs(surface_dist) < (res_diag * 0.5
+                                              + cfg.color_band_pad)
+        cupd = in_img & depth_ok & color_band & active & lane_ok
+        r_s, _ = _sample_window(img_ref.at[1], v0, dv, du, win, w_img)
+        g_s, _ = _sample_window(img_ref.at[2], v0, dv, du, win, w_img)
+        b_s, _ = _sample_window(img_ref.at[3], v0, dv, du, win, w_img)
+        q_s, _ = _sample_window(img_ref.at[4], v0, dv, du, win, w_img)
+
+        # de-interleave [1, 3V] row → three [1, V] channel vectors
+        row = col_ref[0:1, :]                               # [1, 3V]
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * v_pad), 1)
+        # deint[c*v_pad + v] = row[v*3 + c]
+        c_of = lane3 // v_pad
+        v_of = lane3 % v_pad
+        deint = jnp.take_along_axis(row, v_of * 3 + c_of, axis=1)
+        cr = deint[:, 0 * v_pad:1 * v_pad]
+        cg = deint[:, 1 * v_pad:2 * v_pad]
+        cb = deint[:, 2 * v_pad:3 * v_pad]
+        cc = cc_ref[0:1, :]
+
+        csign = jnp.where(cupd, sign, 0.0)
+        nr = cr + jnp.where(cupd, r_s, 0.0) * sign
+        ng = cg + jnp.where(cupd, g_s, 0.0) * sign
+        nb = cb + jnp.where(cupd, b_s, 0.0) * sign
+        ncc = cc + csign
+        mx = jnp.maximum(nr, jnp.maximum(ng, nb))
+        sat = (mx > cfg.color_saturation) & (sign > 0) & cupd
+        nr = jnp.where(sat, nr * 0.25, nr)
+        ng = jnp.where(sat, ng * 0.25, ng)
+        nb = jnp.where(sat, nb * 0.25, nb)
+        ncc = jnp.where(sat, ncc * 0.25, ncc)
+        nr = jnp.where(cupd, nr, cr)
+        ng = jnp.where(cupd, ng, cg)
+        nb = jnp.where(cupd, nb, cb)
+        ncc = jnp.where(cupd, ncc, cc)
+
+        # re-interleave channels → [1, 3V]
+        cat = jnp.concatenate([nr, ng, nb], axis=1)          # [1, 3V]
+        # out[v*3 + c] = cat[c*v_pad + v]
+        v_il = lane3 // 3
+        c_il = lane3 % 3
+        col_out[0:1, :] = jnp.take_along_axis(cat, c_il * v_pad + v_il,
+                                              axis=1)
+        cc_out[0:1, :] = ncc
+
+        # per-chunk observation quality + partial-view poison
+        qv = jnp.where(cupd, q_s, 0.0)
+        quality = jnp.sum(qv)
+        partial = jnp.any((~in_img) & active & (cz_ > 0) & lane_ok)
+        behind = jnp.any((cz_ <= 0) & lane_ok) & active
+        quality = jnp.where(partial | behind, -1e11, quality)
+    else:
+        col_out[0:1, :] = col_ref[0:1, :]
+        cc_out[0:1, :] = cc_ref[0:1, :]
+        quality = jnp.float32(0.0)
+
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    updated = jnp.where(jnp.any(upd), 1.0, 0.0)
+    q_out[0:1, :] = jnp.where(lane128 == 0, quality,
+                              jnp.where(lane128 == 1, updated, 0.0))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("intr", "cfg", "with_color", "win", "interpret"),
+    donate_argnames=("sdf", "weight", "color", "ccnt"))
+def integrate_rows_pallas(
+    sdf: jnp.ndarray,            # [S+1, V] FULL slot array (donated)
+    weight: jnp.ndarray,         # [S+1, V]
+    color: jnp.ndarray,          # [S+1, V, 3]
+    ccnt: jnp.ndarray,           # [S+1, V]
+    origins_sel: jnp.ndarray,    # [U, 3] f32 — origins of the idx rows
+    idx: jnp.ndarray,            # [U] int32 slot indices (trash-padded)
+    active: jnp.ndarray,         # [U] int32 (1 = live row)
+    img_packed: jnp.ndarray,     # [5, H, W] f32: depth | rgb×255 | quality
+    world_to_cam: jnp.ndarray,   # [16] f32 row-major
+    sign: jnp.ndarray,           # [1] f32
+    intr: cam.Intrinsics,
+    cfg: TSDFConfig,
+    with_color: bool = True,
+    win: int = 128,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
+           jnp.ndarray, jnp.ndarray]:
+    """Run the Pallas voxel kernel over the idx rows IN PLACE.
+
+    Returns (sdf, weight, color, ccnt, quality[U], updated[U]).
+    Semantics == ops.tsdf.integrate_chunks for chunks whose projected
+    v-extent fits the WIN-row window (chunks nearer than ~extent·fy/WIN
+    clamp; keep the near plane above that or use the XLA path)."""
+    s1, v = sdf.shape
+    u = idx.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,   # idx, active, origins, pose, sign
+        grid=(u,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),               # image
+            pl.BlockSpec((1, v), lambda i, idx, a, o, p, s: (idx[i], 0)),
+            pl.BlockSpec((1, v), lambda i, idx, a, o, p, s: (idx[i], 0)),
+            pl.BlockSpec((1, 3 * v), lambda i, idx, a, o, p, s: (idx[i], 0)),
+            pl.BlockSpec((1, v), lambda i, idx, a, o, p, s: (idx[i], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, v), lambda i, idx, a, o, p, s: (idx[i], 0)),
+            pl.BlockSpec((1, v), lambda i, idx, a, o, p, s: (idx[i], 0)),
+            pl.BlockSpec((1, 3 * v), lambda i, idx, a, o, p, s: (idx[i], 0)),
+            pl.BlockSpec((1, v), lambda i, idx, a, o, p, s: (idx[i], 0)),
+            pl.BlockSpec((1, 128), lambda i, idx, a, o, p, s: (i, 0)),
+        ],
+    )
+    kern = functools.partial(
+        _voxel_kernel, intr=intr, cfg=cfg, win=win, v_pad=v,
+        with_color=with_color)
+    col2d = color.reshape(s1, 3 * v)
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((s1, v), jnp.float32),
+            jax.ShapeDtypeStruct((s1, v), jnp.float32),
+            jax.ShapeDtypeStruct((s1, 3 * v), jnp.float32),
+            jax.ShapeDtypeStruct((s1, v), jnp.float32),
+            jax.ShapeDtypeStruct((u, 128), jnp.float32),
+        ],
+        # tensor operands follow the 5 scalar-prefetch args:
+        # img=5 → out sdf, sdf=6 → 0, weight=7 → 1, color=8 → 2, cc=9 → 3
+        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
+        interpret=interpret,
+    )(idx.astype(jnp.int32), active.astype(jnp.int32),
+      origins_sel, world_to_cam, sign,
+      img_packed, sdf, weight, col2d, ccnt)
+    sdf_n, w_n, col_n, cc_n, q = out
+    return (sdf_n, w_n, col_n.reshape(s1, v, 3), cc_n,
+            q[:, 0], q[:, 1] > 0.5)

@@ -271,6 +271,44 @@ def integrate_frame_fused(
     return out, quality, updated
 
 
+@functools.partial(jax.jit, static_argnames=("intr", "cfg", "with_color"),
+                   donate_argnames=("batch",))
+def reintegrate_frame_fused(
+    batch: ChunkBatch,             # FULL slot arrays [S+1, ...] (donated)
+    origins_full: jnp.ndarray,     # [S+1, 3]
+    idx: jnp.ndarray,              # [U] slot indices (trash-padded)
+    active: jnp.ndarray,           # [U]
+    depth: jnp.ndarray,
+    rgb: jnp.ndarray,
+    quality_map: jnp.ndarray,
+    pose_old: jnp.ndarray,         # de-integration pose (pose_sophus[1])
+    pose_new: jnp.ndarray,         # re-integration pose (pose_sophus[0])
+    intr: cam.Intrinsics,
+    cfg: TSDFConfig,
+    with_color: bool = True,
+) -> Tuple[ChunkBatch, jnp.ndarray, jnp.ndarray]:
+    """Fused de-integrate @ pose_old + re-integrate @ pose_new: ONE
+    gather of the keyframe's chunk rows, two sequential voxel updates
+    (bit-identical to separate de-/re-integration programs), one
+    scatter — half the HBM row traffic and one dispatch instead of two
+    (ref: ReIntegrateKeyframe runs the two passes back-to-back over the
+    same recorded chunk set, MobileFusion.cpp:114-221). Returns the new
+    batch plus the RE-integration's per-chunk observation quality and
+    updated mask (the de-integration's obs entries are retracted host-side,
+    ref: RetractObservations MobileFusion.cpp:252-272)."""
+    sub = ChunkBatch(*(a[idx] for a in batch))
+    origins = origins_full[idx]
+    sub, _, _ = integrate_chunks(
+        sub, origins, active, depth, rgb, quality_map, pose_old,
+        jnp.float32(-1.0), intr, cfg, with_color=with_color)
+    sub, quality, updated = integrate_chunks(
+        sub, origins, active, depth, rgb, quality_map, pose_new,
+        jnp.float32(1.0), intr, cfg, with_color=with_color)
+    out = ChunkBatch(*(full.at[idx].set(part)
+                       for full, part in zip(batch, sub)))
+    return out, quality, updated
+
+
 @functools.partial(jax.jit, static_argnames=("intr", "cfg"),
                    donate_argnames=("batch",))
 def integrate_depths_scan(
@@ -344,7 +382,7 @@ def integrate_depths_batched(
     centroids = jnp.asarray(geometry.voxel_centroids(cfg.chunk_size, res))
     world = origins[:, None, :] + centroids[None, :, :]          # [U,V,3]
 
-    def per_frame(depth, pose):
+    def per_frame(depth, pose, sgn):
         world_to_cam = se3.inverse(pose)
         pts = se3.transform_points(world_to_cam, world.reshape(-1, 3)
                                    ).reshape(u_chunks, v_voxels, 3)
@@ -365,10 +403,15 @@ def integrate_depths_batched(
         band = ((surface_dist > -0.03)
                 & (surface_dist < (trunc[:, None] + res_diag)))
         upd = in_img & depth_ok & band & active[:, None]
-        a = jnp.where(upd, cfg.integration_weight * sign, 0.0)
+        a = jnp.where(upd, cfg.integration_weight * sgn, 0.0)
         return a, a * surface_dist
 
-    a_sum, ad_sum = jax.vmap(per_frame)(depths, cam_to_worlds)
+    # sign may be a scalar (one pass) or [F] per-frame (fused de+re-
+    # integration stacks old-pose frames with sign −1 and new-pose
+    # frames with +1 — the weighted running average commutes, so one
+    # combined read-modify-write is exact up to the reset note above)
+    signs = jnp.broadcast_to(jnp.atleast_1d(sign), (depths.shape[0],))
+    a_sum, ad_sum = jax.vmap(per_frame)(depths, cam_to_worlds, signs)
     a = jnp.sum(a_sum, axis=0)                                   # [U,V]
     ad = jnp.sum(ad_sum, axis=0)
     touched = a != 0.0

@@ -97,6 +97,9 @@ class GCSLAM:
         self._row_to_slot = jnp.full(max_kf, -1, jnp.int32)
         self.fail_count = 0
         self.origin_count = 1
+        # deferred promotion: the probe dispatched at keyframe adoption,
+        # consumed (edges + pose correction + BA) one frame later
+        self._pending_promote: Optional[dict] = None
         self._key = jax.random.PRNGKey(42)
         # base for device-side per-frame key derivation (fold_in) — the
         # fused frame step needs no host-side split per frame
@@ -292,6 +295,14 @@ class GCSLAM:
         small fetch. The multi-origin case (rare) takes the legacy
         multi-dispatch path, which can probe arbitrary extra slots."""
         last_slot = self.last_keyframe.slot
+        if (self.cfg.defer_promote and tracked is not None
+                and tracked_stats is not None
+                and self.origin_count == 1 and len(self.db) > 0):
+            # steady state with a valid tracked pose already on host:
+            # adopt the keyframe NOW, consume the probe one frame later
+            # (ref contrast: GCSLAM.cpp:52-185 blocks the tracking thread)
+            self._promote_dispatch(frame, kp, tracked_stats)
+            return
         if self.origin_count == 1 and len(self.db) > 0:
             results = self._probe_candidates(kp, tracked_stats)
         else:
@@ -380,12 +391,12 @@ class GCSLAM:
         if len(self.db) > row:    # actually inserted (capacity not hit)
             self._row_to_slot = self._row_to_slot.at[row].set(slot)
 
-    def _probe_candidates(self, kp: Keypoints,
-                          tracked_stats: Optional[np.ndarray]):
-        """Single-dispatch candidate selection + registration + edge
-        pre-integration (slam/promote.py). Returns
-        [(KeyframeRecord, stats[21] np, sums device-tuple)]."""
+    def _dispatch_probe(self, kp: Keypoints,
+                        tracked_stats: Optional[np.ndarray]):
+        """Launch the single-dispatch promotion probe; returns
+        (probe, n_cand, fetch handle) with the host copy in flight."""
         from texturefusion_tpu.slam import promote
+        from texturefusion_tpu.utils.async_fetch import fetch_async
         n_cand = max(self.cfg.max_candidates, 2)
         have_tracked = tracked_stats is not None
         ts = (jnp.asarray(tracked_stats.astype(np.float32))
@@ -396,7 +407,10 @@ class GCSLAM:
             kp, ts, jnp.asarray(have_tracked), self._split_key(),
             self.cfg.salient_score_threshold, self.config.ba.huber_delta,
             self.cfg, self.intr, n_cand)
-        fetched = np.asarray(probe.fetch).reshape(n_cand, 25)
+        return probe, n_cand, fetch_async(probe.fetch)
+
+    def _probe_results(self, probe, n_cand: int, fetched: np.ndarray):
+        """Probe fetch → [(KeyframeRecord, stats[21] np, sums, matches)]."""
         import os
         if os.environ.get("TF_DEBUG_LC"):
             print(f"[LC] kf={len(self.keyframes)} cands="
@@ -416,6 +430,80 @@ class GCSLAM:
             results.append((self.keyframes[slot], fetched[i, 2:23], sums,
                             (probe.midx[i], probe.minl[i])))
         return results
+
+    def _promote_dispatch(self, frame: FrameRecord, kp: Keypoints,
+                          tracked_stats: np.ndarray) -> None:
+        """Adopt the keyframe immediately at the tracked pose, dispatch
+        the loop-closure probe, and defer edges/pose-correction/BA to
+        consume_pending_promote (typically the next frame's finalize) —
+        the probe's ~22 ms fetch RTT leaves the tracking critical path.
+        The provisional pose is the tracked relative pose composed onto
+        the last keyframe; the consume step re-selects the reference
+        minimum-disparity candidate pose (ref: GCSLAM.cpp:124-147)."""
+        self.consume_pending_promote()   # at most one in flight
+        last_slot = self.last_keyframe.slot
+        rel = tracked_stats[5:21].reshape(4, 4).astype(np.float32)
+        pose_prov = (self.poses[last_slot] @ rel).astype(np.float32)
+        frame.origin_index = self.keyframes[last_slot].origin_index
+        frame.tracking_success = True
+        kf = self._promote_keyframe(frame, kp, pose_prov)
+        probe, n_cand, handle = self._dispatch_probe(kp, tracked_stats)
+        self._pending_promote = {
+            "probe": probe, "n_cand": n_cand, "handle": handle,
+            "kf_slot": kf.slot, "last_slot": last_slot, "rel": rel}
+        self.fail_count = 0
+
+    def consume_pending_promote(self) -> None:
+        """Apply a deferred promotion's probe results: loop-closure edges,
+        minimum-disparity pose re-selection, descriptor-DB gating, BA
+        (the deferred tail of ref GCSLAM.cpp:52-185 + optimizeKeyFrameMap).
+        Idempotent; called from the next update_frame / final_ba."""
+        pend, self._pending_promote = self._pending_promote, None
+        if pend is None:
+            return
+        from texturefusion_tpu.utils.async_fetch import resolve
+        from texturefusion_tpu.utils.stopwatch import STOPWATCH
+        with STOPWATCH.time("t_promote_consume"):
+            fetched = np.asarray(resolve(pend["handle"])).reshape(
+                pend["n_cand"], 25)
+        results = self._probe_results(pend["probe"], pend["n_cand"], fetched)
+        kf = self.keyframes[pend["kf_slot"]]
+        if not results:
+            # candidate 0 carries the tracked stats so this is rare
+            # (borderline re-registration): keep the provisional pose,
+            # tie the keyframe in with an odometry-prior edge
+            self._add_virtual_edge(pend["last_slot"], kf.slot, pend["rel"])
+            self._db_add(kf.slot, self.frames[kf.frame_index].keypoints)
+            self._run_ba()
+            return
+        # pose from the minimum-disparity successful match
+        # (ref: GCSLAM.cpp:124-147); deferred path is single-origin
+        best = min(results, key=lambda r: float(r[1][3]))
+        if best[0].slot != pend["last_slot"]:
+            pose_world = self.poses[best[0].slot] @ best[1][5:21].reshape(4, 4)
+            self.poses[kf.slot] = pose_world.astype(np.float32)
+        for kf_c, _stats, sums, matches in results:
+            if self.n_edges < self.config.ba.max_edges:
+                self.edges = fastba.append_edge(
+                    self.edges, jnp.int32(self.n_edges), kf_c.slot, kf.slot,
+                    *sums)
+                if matches is not None:
+                    self._store_edge_matches(self.n_edges, *matches)
+                self.n_edges += 1
+        kf.reg_success_count = len(results)
+        if len(results) < 4:   # ref: GCSLAM.cpp:171-177 DB insertion gate
+            self._db_add(kf.slot, self.frames[kf.frame_index].keypoints)
+        self._run_ba()
+
+    def _probe_candidates(self, kp: Keypoints,
+                          tracked_stats: Optional[np.ndarray]):
+        """Single-dispatch candidate selection + registration + edge
+        pre-integration (slam/promote.py). Returns
+        [(KeyframeRecord, stats[21] np, sums device-tuple)]."""
+        probe, n_cand, handle = self._dispatch_probe(kp, tracked_stats)
+        from texturefusion_tpu.utils.async_fetch import resolve
+        fetched = np.asarray(resolve(handle)).reshape(n_cand, 25)
+        return self._probe_results(probe, n_cand, fetched)
 
     def _legacy_candidates(self, kp: Keypoints,
                            tracked: Optional[TwoViewResult],
@@ -510,6 +598,7 @@ class GCSLAM:
         pipelined tracker dispatches one frame ahead of decisions), the
         relative pose is re-anchored by host-side composition instead of
         a re-registration dispatch."""
+        self.consume_pending_promote()   # deferred probe: landed by now
         frame = FrameRecord(index=len(self.frames), timestamp=timestamp,
                             blurred=False)
         self.frames.append(frame)
@@ -704,6 +793,7 @@ class GCSLAM:
         CURRENT optimized poses (initGraphHuberNorm semantics) before the
         last Gauss-Newton — weights frozen at registration time overvalue
         correspondences that later turned out inconsistent."""
+        self.consume_pending_promote()
         if self.n_edges > 0 and self._edge_has[: self.n_edges].any():
             self._sync_poses()
             e_bucket = _next_bucket(self.n_edges, lo=16)

@@ -100,8 +100,9 @@ class TextureManager:
             # async cycles read the UNFLUSHED observation dict — flushing
             # would sync on copies still queued behind this cycle's
             # integrations; the newest keyframe's entries land next cycle
+            # (staleness contract documented on observations_unflushed)
             obs = (volume.observations if flush_obs
-                   else volume._observations)
+                   else volume.observations_unflushed)
             problem, slots, label_kf_np = self.selector.build_problem(
                 obs, adjacency, volume.ids, newest_kf)
             if problem is None:
@@ -189,7 +190,11 @@ class TextureManager:
                     rec = self.atlas.add_or_update_patch(
                         s, kf, bmin[i], bmax[i], rgb_host)
                     if rec is None:
-                        return  # atlas full — stop (ref: Atlas overflow)
+                        # atlas full — stop (ref: overflow Atlas.cpp:52-53);
+                        # drop the carry so catch-up loops don't spin on
+                        # work that can never be placed
+                        self._carry = set()
+                        return
                 nv = int(mesher.vcount[s])
                 tex.label = kf
                 tex.wrong = False
@@ -247,9 +252,12 @@ class TextureManager:
     def _sample_atlas(self, uv: np.ndarray) -> np.ndarray:
         """Bilinear sample of the atlas image at normalized uv [P, 2]
         (v up, OBJ convention) → [P, 3] float 0..1."""
+        # exact inverse of Atlas.atlas_uv's /size normalization (a *(sz-1)
+        # scale here would shift samples up to ~1 texel for tiles far from
+        # the atlas origin and bleed neighboring patches' texels)
         sz = self.atlas.size
-        x = np.clip(uv[:, 0] * (sz - 1), 0, sz - 1)
-        y = np.clip((1.0 - uv[:, 1]) * (sz - 1), 0, sz - 1)
+        x = np.clip(uv[:, 0] * sz, 0, sz - 1)
+        y = np.clip((1.0 - uv[:, 1]) * sz, 0, sz - 1)
         x0 = np.floor(x).astype(np.int64)
         y0 = np.floor(y).astype(np.int64)
         x1 = np.minimum(x0 + 1, sz - 1)

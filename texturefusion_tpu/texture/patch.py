@@ -13,7 +13,7 @@ host code owns patch records and atlas placement (texture/atlas.py).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,166 +22,6 @@ import numpy as np
 from texturefusion_tpu.config import TextureConfig
 from texturefusion_tpu.core import camera as cam
 from texturefusion_tpu.core import se3
-
-
-class PatchBatch(NamedTuple):
-    uv: jnp.ndarray            # [U, P, 2] keyframe-image pixel coords
-    uv_valid: jnp.ndarray      # [U, P] bool (in image, vertex valid)
-    bbox_min: jnp.ndarray      # [U, 2]
-    bbox_max: jnp.ndarray      # [U, 2]
-    wrong_mapping: jnp.ndarray  # [U] bool
-    tex_color: jnp.ndarray     # [U, P, 3] color sampled from the keyframe
-
-
-@functools.partial(jax.jit, static_argnames=("intr", "cfg"))
-def project_patches(
-    verts: jnp.ndarray,        # [U, P, 3] world-space chunk mesh vertices
-    vert_valid: jnp.ndarray,   # [U, P]
-    vert_color: jnp.ndarray,   # [U, P, 3] voxel colors from the mesher
-    kf_pose: jnp.ndarray,      # [4, 4] selected keyframe camera-to-world
-    kf_rgb: jnp.ndarray,       # [H, W, 3] — shared by all chunks in the batch
-    kf_depth: jnp.ndarray,     # [H, W]
-    intr: cam.Intrinsics,
-    cfg: TextureConfig,
-) -> PatchBatch:
-    if kf_rgb.dtype == jnp.uint8:
-        kf_rgb = kf_rgb.astype(jnp.float32) / 255.0
-    world_to_cam = se3.inverse(kf_pose)
-    pts_cam = se3.transform_points(world_to_cam, verts)             # [U,P,3]
-    return _patch_from_cam(pts_cam, vert_valid, vert_color, kf_rgb,
-                           kf_depth, intr, cfg)
-
-
-def _patch_from_cam(pts_cam, vert_valid, vert_color, kf_rgb, kf_depth,
-                    intr, cfg) -> PatchBatch:
-    uv, z = cam.project(intr, pts_cam)
-    in_img = cam.in_image(intr, uv, margin=1.0) & (z > intr.near)
-    ok = vert_valid & in_img
-
-    tex, _ = cam.bilinear_sample(kf_rgb, uv)                        # [U,P,3]
-    d_kf, _ = cam.bilinear_sample(kf_depth, uv)                     # [U,P]
-
-    color_bad = jnp.max(jnp.abs(tex - vert_color), axis=-1) > cfg.wrong_mapping_color
-    depth_bad = jnp.abs(d_kf - z) > cfg.wrong_mapping_depth
-    occluded = (d_kf > intr.near) & (z > d_kf + 0.05)  # vertex behind observed surface
-    bad = ok & (color_bad | depth_bad | occluded)
-    n_ok = jnp.maximum(jnp.sum(ok, axis=1), 1)
-    wrong = (jnp.sum(bad, axis=1) / n_ok) > cfg.wrong_mapping_frac
-    wrong = wrong | (jnp.sum(ok, axis=1) == 0)
-
-    big = 1e9
-    uv_masked = jnp.where(ok[..., None], uv, big)
-    bbox_min = jnp.floor(jnp.min(uv_masked, axis=1) - 1.0)
-    uv_masked = jnp.where(ok[..., None], uv, -big)
-    bbox_max = jnp.ceil(jnp.max(uv_masked, axis=1) + 1.0)
-    bbox_min = jnp.clip(bbox_min, 0, jnp.asarray([intr.width - 1, intr.height - 1]))
-    bbox_max = jnp.clip(bbox_max, 0, jnp.asarray([intr.width - 1, intr.height - 1]))
-    return PatchBatch(uv=uv, uv_valid=ok, bbox_min=bbox_min, bbox_max=bbox_max,
-                      wrong_mapping=wrong, tex_color=tex)
-
-
-class TextureCycleOut(NamedTuple):
-    """Single-fetch outputs of the fused texture-cycle program."""
-
-    labels: jnp.ndarray      # [N] int32 solved label slot per node
-    kf_id: jnp.ndarray       # [N] int32 selected keyframe (-1 invalid)
-    uv16: jnp.ndarray        # [N, P, 2] uint16 pixel coords ×16 fixed point
-    uv_valid: jnp.ndarray    # [N, P] bool
-    bbox_min: jnp.ndarray    # [N, 2]
-    bbox_max: jnp.ndarray    # [N, 2]
-    wrong: jnp.ndarray       # [N] bool
-    t_mats: jnp.ndarray      # [K, 3, 3] per-keyframe color transfer
-    mean_t: jnp.ndarray      # [K, 3]
-    mean_v: jnp.ndarray      # [K, 3]
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("intr", "cfg", "sweeps"))
-def texture_cycle_program(
-    problem,                   # mrf.MRFProblem, node i ↔ chunk row i
-    slot_idx: jnp.ndarray,     # [N] int32 chunk slot per node
-    pool_verts: jnp.ndarray,   # [S+1, P, 3] device mesh pool
-    pool_colpk: jnp.ndarray,   # [S+1, P] uint32 packed voxel colors
-    pool_vcount: jnp.ndarray,  # [S+1] int32
-    kf_poses: jnp.ndarray,     # [K, 4, 4] (slot-indexed)
-    kf_rgbs: jnp.ndarray,      # [K, H, W, 3] uint8
-    kf_depths: jnp.ndarray,    # [K, H, W]
-    intr: cam.Intrinsics,
-    cfg: TextureConfig,
-    sweeps: int,
-) -> TextureCycleOut:
-    """The ENTIRE texture stage of the map cycle as ONE program:
-    MRF view-selection ICM sweeps → per-chunk projection into the chosen
-    keyframe → wrong-mapping veto → global color compensation — one
-    dispatch, one small fetch. Mesh vertices come straight from the
-    DEVICE mesh pool (no host round-trip). The reference runs these as
-    four CPU passes (ref: MobileFusion.cpp:356-384); on a tunneled
-    accelerator each separate pass costs a ~24 ms dispatch→sync
-    roundtrip."""
-    from texturefusion_tpu.texture import color as color_ops
-    from texturefusion_tpu.texture import mrf as mrf_ops
-
-    verts = jnp.take(pool_verts, slot_idx, axis=0)        # [N, P, 3]
-    cpk = jnp.take(pool_colpk, slot_idx, axis=0)          # [N, P]
-    vert_color = jnp.stack([cpk & 0xFF, (cpk >> 8) & 0xFF,
-                            (cpk >> 16) & 0xFF],
-                           axis=-1).astype(jnp.float32) / 255.0
-    n, p = cpk.shape
-    vert_valid = (jnp.arange(p)[None, :]
-                  < jnp.take(pool_vcount, slot_idx)[:, None])
-    k = kf_poses.shape[0]
-    labels = mrf_ops.solve_icm(problem, cfg.mrf_potts_weight,
-                               cfg.mrf_edge_weight, sweeps=sweeps)
-    kf_id = jnp.take_along_axis(problem.label_kf, labels[:, None],
-                                axis=1)[:, 0]                 # [N]
-    row = jnp.clip(kf_id, 0, k - 1)
-
-    rgbs = kf_rgbs.astype(jnp.float32) / 255.0 \
-        if kf_rgbs.dtype == jnp.uint8 else kf_rgbs
-    w2c = se3.inverse(kf_poses)[row]                          # [N, 4, 4]
-    pts_cam = jnp.einsum("uij,upj->upi", w2c[:, :3, :3], verts) \
-        + w2c[:, None, :3, 3]
-    uv, z = cam.project(intr, pts_cam)
-    ok = vert_valid & cam.in_image(intr, uv, margin=1.0) & (z > intr.near) \
-        & (kf_id >= 0)[:, None]
-
-    tex = _bilinear_multi(rgbs, row, uv)                      # [N, P, 3]
-    d_kf = _bilinear_multi(kf_depths, row, uv)
-
-    color_bad = jnp.max(jnp.abs(tex - vert_color), axis=-1) \
-        > cfg.wrong_mapping_color
-    depth_bad = jnp.abs(d_kf - z) > cfg.wrong_mapping_depth
-    occluded = (d_kf > intr.near) & (z > d_kf + 0.05)
-    bad = ok & (color_bad | depth_bad | occluded)
-    n_ok = jnp.maximum(jnp.sum(ok, axis=1), 1)
-    wrong = (jnp.sum(bad, axis=1) / n_ok) > cfg.wrong_mapping_frac
-    wrong = wrong | (jnp.sum(ok, axis=1) == 0)
-
-    big = 1e9
-    uv_m = jnp.where(ok[..., None], uv, big)
-    bbox_min = jnp.floor(jnp.min(uv_m, axis=1) - 1.0)
-    uv_m = jnp.where(ok[..., None], uv, -big)
-    bbox_max = jnp.ceil(jnp.max(uv_m, axis=1) + 1.0)
-    lim = jnp.asarray([intr.width - 1, intr.height - 1])
-    bbox_min = jnp.clip(bbox_min, 0, lim)
-    bbox_max = jnp.clip(bbox_max, 0, lim)
-
-    # global color compensation over all patched vertices, clustered by
-    # keyframe (ref: Chisel.cpp:198-286) — transfer matrices only; the
-    # per-vertex deltas are derivable on demand and never cross the link
-    w_flat = (ok & ~wrong[:, None]).astype(jnp.float32).reshape(-1)
-    cl_flat = jnp.broadcast_to(row[:, None], (n, p)).reshape(-1)
-    tex_flat = tex.reshape(-1, 3)
-    vox_flat = vert_color.reshape(-1, 3)
-    mean_t, cov_t = color_ops.cluster_stats(tex_flat, w_flat, cl_flat, k)
-    mean_v, cov_v = color_ops.cluster_stats(vox_flat, w_flat, cl_flat, k)
-    t_mats = color_ops.transfer_matrices(mean_t, cov_t, mean_v, cov_v)
-
-    uv16 = jnp.clip(uv * 16.0, 0, 65535).astype(jnp.uint16)
-    return TextureCycleOut(labels=labels, kf_id=kf_id, uv16=uv16,
-                           uv_valid=ok, bbox_min=bbox_min,
-                           bbox_max=bbox_max, wrong=wrong,
-                           t_mats=t_mats, mean_t=mean_t, mean_v=mean_v)
 
 
 class IncrementalCycleOut(NamedTuple):
@@ -377,76 +217,3 @@ def texture_cycle_incremental(
         bbox_min=bbox_min, bbox_max=bbox_max, wrong=wrong,
         t_mats=t_mats, mean_t=mean_t, mean_v=mean_v)
     return labels_out, stats_out, out
-
-
-def _bilinear_multi(imgs: jnp.ndarray, row: jnp.ndarray, uv: jnp.ndarray):
-    """Bilinear sample per-chunk SOURCE images: imgs [L, H, W(, C)],
-    row [U] image index per chunk, uv [U, P, 2]. Returns [U, P(, C)]."""
-    L, h, w = imgs.shape[:3]
-    chans = imgs.shape[3] if imgs.ndim == 4 else 0
-    x = jnp.clip(uv[..., 0], 0.0, w - 1.001)
-    y = jnp.clip(uv[..., 1], 0.0, h - 1.001)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    fx = (x - x0)[..., None] if chans else (x - x0)
-    fy = (y - y0)[..., None] if chans else (y - y0)
-    base = row[:, None] * (h * w) + y0 * w + x0          # [U, P]
-    flat = imgs.reshape(L * h * w, chans) if chans else imgs.reshape(-1)
-    take = (lambda i: jnp.take(flat, i, axis=0)) if chans \
-        else (lambda i: jnp.take(flat, i))
-    v00 = take(base)
-    v01 = take(base + 1)
-    v10 = take(base + w)
-    v11 = take(base + w + 1)
-    top = v00 + (v01 - v00) * fx
-    bot = v10 + (v11 - v10) * fx
-    return top + (bot - top) * fy
-
-
-@functools.partial(jax.jit, static_argnames=("intr", "cfg"))
-def project_patches_multi(
-    verts: jnp.ndarray,        # [U, P, 3] world-space chunk mesh vertices
-    vert_valid: jnp.ndarray,   # [U, P]
-    vert_color: jnp.ndarray,   # [U, P, 3]
-    kf_row: jnp.ndarray,       # [U] int32 index into the stacked keyframes
-    kf_poses: jnp.ndarray,     # [L, 4, 4] camera-to-world per keyframe
-    kf_rgbs: jnp.ndarray,      # [L, H, W, 3] uint8 or float
-    kf_depths: jnp.ndarray,    # [L, H, W]
-    intr: cam.Intrinsics,
-    cfg: TextureConfig,
-) -> PatchBatch:
-    """project_patches over chunks labeled with DIFFERENT keyframes in
-    one program — the whole texture cycle's patch generation is one
-    dispatch + one fetch regardless of how many views are in play (the
-    reference loops chunks per keyframe on the CPU, Chisel.cpp:149-189)."""
-    if kf_rgbs.dtype == jnp.uint8:
-        kf_rgbs = kf_rgbs.astype(jnp.float32) / 255.0
-    w2c = se3.inverse(kf_poses)[kf_row]                   # [U, 4, 4]
-    pts_cam = jnp.einsum("uij,upj->upi", w2c[:, :3, :3], verts) \
-        + w2c[:, None, :3, 3]
-    uv, z = cam.project(intr, pts_cam)
-    in_img = cam.in_image(intr, uv, margin=1.0) & (z > intr.near)
-    ok = vert_valid & in_img
-
-    tex = _bilinear_multi(kf_rgbs, kf_row, uv)            # [U, P, 3]
-    d_kf = _bilinear_multi(kf_depths, kf_row, uv)         # [U, P]
-
-    color_bad = jnp.max(jnp.abs(tex - vert_color), axis=-1) \
-        > cfg.wrong_mapping_color
-    depth_bad = jnp.abs(d_kf - z) > cfg.wrong_mapping_depth
-    occluded = (d_kf > intr.near) & (z > d_kf + 0.05)
-    bad = ok & (color_bad | depth_bad | occluded)
-    n_ok = jnp.maximum(jnp.sum(ok, axis=1), 1)
-    wrong = (jnp.sum(bad, axis=1) / n_ok) > cfg.wrong_mapping_frac
-    wrong = wrong | (jnp.sum(ok, axis=1) == 0)
-
-    big = 1e9
-    uv_masked = jnp.where(ok[..., None], uv, big)
-    bbox_min = jnp.floor(jnp.min(uv_masked, axis=1) - 1.0)
-    uv_masked = jnp.where(ok[..., None], uv, -big)
-    bbox_max = jnp.ceil(jnp.max(uv_masked, axis=1) + 1.0)
-    lim = jnp.asarray([intr.width - 1, intr.height - 1])
-    bbox_min = jnp.clip(bbox_min, 0, lim)
-    bbox_max = jnp.clip(bbox_max, 0, lim)
-    return PatchBatch(uv=uv, uv_valid=ok, bbox_min=bbox_min,
-                      bbox_max=bbox_max, wrong_mapping=wrong, tex_color=tex)

@@ -1,13 +1,18 @@
 """Background device→host fetch helper.
 
-On the tunneled TPU backend every blocking fetch costs a ~20 ms link RTT
-*plus* time queued behind previously dispatched device work, and
-`copy_to_host_async` is best-effort (a no-op on backends that don't
-support it). `fetch_async` instead hands the fetch to a dedicated thread:
-`jax.device_get` blocks there with the GIL released, so the RTT and the
-transfer overlap with the caller's host work. Consumers resolve the
-Future when they actually need the bytes — typically a whole fusion
-cycle later, by which point the result is already sitting in host memory.
+On the tunneled TPU backend every *fresh* fetch costs a ~22 ms link RTT
+(measured; latency, not bandwidth — parallel fetches overlap perfectly),
+while `copy_to_host_async` genuinely lands the bytes in the host-side
+cache so a later `device_get` of the same array returns in ~0.1 ms.
+
+`fetch_async` therefore just starts the async copies and hands back a
+lightweight handle; `result()`/`resolve()` run `jax.device_get` on the
+CALLER's thread — free when the copy landed, and blocking exactly as
+long as the producing program + one RTT when it has not. Earlier
+revisions funneled every fetch through a tiny shared ThreadPoolExecutor;
+a fresh fetch then head-of-line blocked every queued consumer behind its
+22 ms RTT (the round-3 consume_gc=122 ms / t_stats_sync=32 ms stalls
+were exactly this), so the executor is gone.
 
 (The reference reads everything from CPU RAM for free — Threading.h
 parallel_for world; this helper is what makes the same host-side
@@ -16,30 +21,38 @@ orchestration latency-tolerant on a remote accelerator.)
 
 from __future__ import annotations
 
-import concurrent.futures
 from typing import Any
 
 import jax
 
-_EXECUTOR = concurrent.futures.ThreadPoolExecutor(
-    max_workers=2, thread_name_prefix="devfetch")
+
+class DeviceFetch:
+    """Handle for an in-flight device→host copy of a pytree."""
+
+    __slots__ = ("tree",)
+
+    def __init__(self, tree: Any):
+        self.tree = tree
+        try:
+            for leaf in jax.tree.leaves(tree):
+                copy = getattr(leaf, "copy_to_host_async", None)
+                if copy is not None:
+                    copy()
+        except Exception:
+            pass  # backends without async copies fall back to plain get
+
+    def result(self) -> Any:
+        return jax.device_get(self.tree)
 
 
-def fetch_async(tree: Any) -> "concurrent.futures.Future":
-    """Start fetching a pytree of device arrays; returns a Future whose
-    result() is the device_get'd host pytree."""
-    try:
-        for leaf in jax.tree.leaves(tree):
-            copy = getattr(leaf, "copy_to_host_async", None)
-            if copy is not None:
-                copy()
-    except Exception:
-        pass
-    return _EXECUTOR.submit(jax.device_get, tree)
+def fetch_async(tree: Any) -> DeviceFetch:
+    """Start the device→host copies for a pytree; returns a handle whose
+    result() is the device_get'd host pytree (near-free once landed)."""
+    return DeviceFetch(tree)
 
 
 def resolve(maybe_future: Any) -> Any:
-    """Future → result; anything else → device_get (sync fallback)."""
+    """Fetch handle → result; anything else → device_get (sync fallback)."""
     if hasattr(maybe_future, "result"):
         return maybe_future.result()
     return jax.device_get(maybe_future)
