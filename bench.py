@@ -1,6 +1,6 @@
 """Benchmark: end-to-end TEXTURED pipeline throughput per chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 Baseline target: ≥30 fps fusion+texture per chip (BASELINE.md — the
 reference's real-time operating point on CPU).
 
@@ -8,10 +8,19 @@ Measures steady-state frames/s of the complete TextureFusion behavior
 (preprocessing → tracking → keyframe promotion → loop closure + FastBA →
 drift-scheduled de/re-integration → TSDF fusion with local frames →
 incremental meshing → MRF view selection → patches → atlas → color
-compensation) on VGA synthetic RGB-D frames over an OUT-AND-BACK
-trajectory with sensor depth noise — the revisit produces loop-closure
-edges and BA pose corrections, so the drift-scheduled reintegration path
-(ref: MobileFusion.cpp:289-315) is exercised, not skipped.
+compensation) on VGA synthetic RGB-D frames over a 360° loop with:
+  * sensor depth noise,
+  * Brown-Conrady lens distortion (the keypoint-undistortion path runs
+    against genuinely distorted images, ref: BasicAPI.cpp:195-241),
+  * a ~2/3-stop exposure step over the far half of the loop (color
+    compensation measured, ref: CompensateColor Chisel.cpp:198-286),
+  * a burst of motion-blurred frames (blur gate exercised,
+    ref: blurriness BasicAPI.cpp:1256-1266).
+The revisit produces loop-closure edges and BA pose corrections, so the
+drift-scheduled reintegration path (ref: MobileFusion.cpp:289-315) is
+exercised, not skipped. Besides ATE, the run reports a MAP-quality
+metric: RMS/median distance of exported mesh vertices to the analytic
+scene surface — reintegration/texture regressions move a number.
 """
 
 import json
@@ -29,9 +38,13 @@ from texturefusion_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
+BLUR_FRAMES = (46, 47, 48)
+EXPOSURE_GAIN = 1.55          # ~2/3 stop step
+EXPOSURE_RANGE = (60, 95)
+
 
 def make_frames(config, intr, n_frames):
-    """Out-and-back trajectory (revisits its own map) + depth noise."""
+    """Hardened loop: distortion + noise + exposure step + blur burst."""
     from texturefusion_tpu.io import synthetic
     from texturefusion_tpu.ops.preprocess import pack_frame
 
@@ -41,25 +54,30 @@ def make_frames(config, intr, n_frames):
     # corrections → drift-scheduled reintegration fires
     # (ref scheduling: MobileFusion.cpp:289-315, MapMaintain.hpp:175-258)
     poses = synthetic.loop_trajectory(n_frames, radius=1.5)
-    cache = (f"/tmp/tf_bench_loop2_{intr.width}x{intr.height}_{n_frames}.npz")
+    scene = synthetic.BoxRoomScene(room_min=(-2.6, -1.5, -2.6),
+                                   room_max=(2.6, 1.5, 2.6))
+    cache = (f"/tmp/tf_bench_loop3_{intr.width}x{intr.height}_{n_frames}.npz")
     if os.path.exists(cache):
         data = np.load(cache)
         packed = [data[f"f{i}"] for i in range(n_frames)]
     else:
-        scene = synthetic.BoxRoomScene(room_min=(-2.6, -1.5, -2.6),
-                                       room_max=(2.6, 1.5, 2.6))
         depths, rgbs = synthetic.render_sequence(scene, intr, poses)
         rng = np.random.default_rng(3)
         packed = []
-        for d, c in zip(depths, rgbs):
+        for i, (d, c) in enumerate(zip(depths, rgbs)):
             noise = rng.normal(0.0, 0.016, d.shape).astype(np.float32) \
                 * np.maximum(d, 0.5)
             dn = np.where(d > 0, d + noise, 0.0)
+            if EXPOSURE_RANGE[0] <= i < EXPOSURE_RANGE[1]:
+                c = np.clip(c * EXPOSURE_GAIN, 0.0, 1.0)
+            if i in BLUR_FRAMES:
+                import cv2
+                c = cv2.GaussianBlur(c, (0, 0), 3.0)
             packed.append(pack_frame(
                 (dn * config.camera.depth_scale).astype(np.uint16),
                 (c * 255).astype(np.uint8)))
         np.savez_compressed(cache, **{f"f{i}": p for i, p in enumerate(packed)})
-    return packed, np.stack(poses)
+    return packed, np.stack(poses), scene
 
 
 def run(pipe_cls, config, packed, n_warm, timed_range):
@@ -83,17 +101,36 @@ def run(pipe_cls, config, packed, n_warm, timed_range):
     return pipe, len(timed_range) / dt
 
 
+def map_error_mm(pipe, scene) -> dict:
+    """Distance of exported mesh vertices to the analytic scene surface
+    (the map-quality number ATE cannot see — reintegration, fusion and
+    meshing regressions move it)."""
+    verts, _, _, _ = pipe.mesher.full_mesh()
+    if len(verts) == 0:
+        return {"map_rms_mm": float("nan"), "map_median_mm": float("nan")}
+    d = np.abs(np.asarray(scene.sdf(jnp.asarray(verts))))
+    return {"map_rms_mm": round(float(np.sqrt(np.mean(d ** 2))) * 1e3, 2),
+            "map_median_mm": round(float(np.median(d)) * 1e3, 2)}
+
+
 def main():
-    from texturefusion_tpu.config import (CameraConfig, ParallelConfig,
-                                          PipelineConfig, TrackingConfig,
-                                          TSDFConfig)
+    from texturefusion_tpu.config import (BAConfig, CameraConfig,
+                                          ParallelConfig, PipelineConfig,
+                                          TrackingConfig, TSDFConfig)
     from texturefusion_tpu.core import camera as cam
     from texturefusion_tpu.fusion.pipeline import TexturedPipeline
     from texturefusion_tpu.io import tum
 
     config = PipelineConfig(
-        camera=CameraConfig(far_plane=6.0),
-        tracking=TrackingConfig(blur_threshold=0.0),
+        # mild Brown-Conrady distortion — the bench frames are rendered
+        # through this model, the tracker undistorts keypoints against it
+        camera=CameraConfig(far_plane=6.0, d0=-0.03, d1=0.005),
+        # blur gate ON: synthetic sharp frames score ~5-9 on the
+        # mean-|Laplacian| metric, the σ=3 blurred burst ~1-2
+        tracking=TrackingConfig(blur_threshold=3.0),
+        # schur_min_keyframes=16 puts the Schur-complement BA path in the
+        # live run (1-device mesh) once the loop has ≥16 keyframes
+        ba=BAConfig(schur_min_keyframes=16),
         tsdf=TSDFConfig(voxel_resolution=0.02, capacity=16384,
                         max_update_chunks=1024),
         parallel=ParallelConfig(async_fusion=True),
@@ -101,7 +138,7 @@ def main():
     intr = cam.Intrinsics.from_config(config.camera)
     n_frames = 120
     n_warm = 20
-    packed, gt_poses = make_frames(config, intr, n_frames)
+    packed, gt_poses, scene = make_frames(config, intr, n_frames)
 
     # warmup pass: play the WHOLE sequence once through a throwaway
     # pipeline — compiles every jit variant the timed pass will hit
@@ -114,13 +151,16 @@ def main():
                     range(n_warm, n_frames))
 
     from texturefusion_tpu.utils.stopwatch import STOPWATCH
+    pipe.finish()
     est = pipe.trajectory()
     ate = tum.ate_rmse(est, gt_poses[: len(est)])
+    merr = map_error_mm(pipe, scene)
     print("stats:", pipe.stats, file=sys.stderr)
     print(f"loop-closure/BA edges: {pipe.slam.n_edges} "
           f"keyframes: {len(pipe.slam.keyframes)}", file=sys.stderr)
     print(f"ATE RMSE: {ate * 1000:.1f} mm over {len(est)} frames",
           file=sys.stderr)
+    print(f"map error: {merr}", file=sys.stderr)
     print(STOPWATCH.report(), file=sys.stderr)
     if pipe.stats["reintegrations"] == 0:
         print("WARNING: reintegration path not exercised", file=sys.stderr)
@@ -129,8 +169,11 @@ def main():
         "metric": "textured_pipeline_fps_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s (VGA, SLAM+fusion+texture, 2cm voxels, "
-                "out-and-back revisit)",
+                "360-loop w/ distortion+exposure-step+blur)",
         "vs_baseline": round(fps / 30.0, 3),
+        "extra": {"ate_rmse_mm": round(ate * 1e3, 2), **merr,
+                  "keyframes": len(pipe.slam.keyframes),
+                  "reintegrations": pipe.stats["reintegrations"]},
     }))
 
 

@@ -62,9 +62,11 @@ def main():
     S = cfg.capacity
 
     rng = np.random.default_rng(0)
-    depth = jnp.asarray(np.clip(rng.normal(2.0, 0.3, (H, W)), 0.3, 5.0),
-                        jnp.float32)
-    rgb = jnp.asarray(rng.random((H, W, 3), np.float32))
+    depth_np = np.clip(rng.normal(2.0, 0.3, (H, W)), 0.3, 5.0
+                       ).astype(np.float32)
+    rgb_np = rng.random((H, W, 3), np.float32)
+    depth = jnp.asarray(depth_np)
+    rgb = jnp.asarray(rgb_np)
     quality = jnp.asarray(rng.random((H, W), np.float32))
     pose = jnp.eye(4)
 
@@ -104,6 +106,29 @@ def main():
     t, out = timeit(lambda: run_int(batch), n=10)
     batch = out[0]
     report("integrate_frame_fused", t, row_bytes + img_bytes + gather_bytes)
+
+    # ---- Pallas voxel kernel (in-place rows, VMEM image)
+    if jax.default_backend() in ("tpu", "axon"):
+        from texturefusion_tpu.core import se3
+        from texturefusion_tpu.ops.pallas_voxel import integrate_rows_pallas
+        img = jnp.stack([depth, rgb[..., 0] * 255.0, rgb[..., 1] * 255.0,
+                         rgb[..., 2] * 255.0, quality])
+        w2c = se3.inverse(pose).reshape(-1)
+        state = [batch]
+
+        def run_pallas():
+            b = state[0]
+            sdf, w, col, cc, q, upd = integrate_rows_pallas(
+                b.sdf, b.weight, b.color, b.color_count, origins[idx],
+                idx, active.astype(jnp.int32), img, w2c,
+                jnp.asarray([1.0], jnp.float32), intr, cfg,
+                with_color=True, win=cfg.pallas_window)
+            state[0] = tsdf_ops.ChunkBatch(sdf, w, col, cc)
+            return q
+
+        t, _ = timeit(run_pallas, n=10)
+        batch = state[0]
+        report("integrate_rows_pallas", t, row_bytes + img_bytes)
 
     # ---- fused de+re-integration (one program, two poses)
     if hasattr(tsdf_ops, "reintegrate_frame_fused"):
@@ -165,8 +190,8 @@ def main():
     from texturefusion_tpu.ops.preprocess import pack_frame
     from texturefusion_tpu.slam.features import extract_features
     packed = jnp.asarray(pack_frame(
-        (np.asarray(depth) * 5000).astype(np.uint16),
-        (np.asarray(rgb) * 255).astype(np.uint8)))
+        (depth_np * 5000).astype(np.uint16),
+        (rgb_np * 255).astype(np.uint8)))
     kp = extract_features(jnp.mean(rgb, -1), depth, config.tracking, intr)
     kf_w = (depth > 0).astype(jnp.float32)
     key = jax.random.PRNGKey(0)
@@ -200,12 +225,53 @@ def main():
     t, _ = timeit(run_probe, n=10)
     report("promote_probe(5 cand)", t, 0)
 
+    # ---- scaling report (BASELINE.md reporting points): 1 real chip,
+    # plus the 8-virtual-device CPU mesh for collective-correctness and
+    # per-device overhead (real multi-chip absent from this environment;
+    # the dryrun mesh is the agreed proxy, MULTICHIP_r*.json)
+    scaling = {}
+    try:
+        import bench_multichip as bm
+        scaling["1chip_sharded_tsdf_steps_s"] = round(
+            bm.bench_sharded_tsdf(1, 4096, n_iters=10), 2)
+        scaling["1chip_distributed_ba_gn_iters_s"] = round(
+            bm.bench_distributed_ba(1, n_iters=5), 1)
+        print("1-chip scaling rows:", scaling)
+    except Exception as e:
+        scaling["error"] = repr(e)
+    try:
+        import subprocess
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8")
+        here = os.path.dirname(os.path.abspath(__file__))
+        code = (
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "import sys; sys.path.insert(0, %r); sys.path.insert(0, %r);"
+            "import bench_multichip as bm;"
+            "f1=bm.bench_sharded_tsdf(1, 1024, n_iters=5);"
+            "f8=bm.bench_sharded_tsdf(8, 1024, n_iters=5);"
+            "b1=bm.bench_distributed_ba(1, n_iters=3);"
+            "b8=bm.bench_distributed_ba(8, n_iters=3);"
+            "import json; print('SCALING', json.dumps("
+            "{'tsdf_eff_8dev': f8/(f1), 'ba_eff_8dev': b8/(b1)}))"
+        ) % (here, os.path.join(here, ".."))
+        out = subprocess.run(["python", "-c", code], env=env, timeout=900,
+                             capture_output=True, text=True)
+        for line in out.stdout.splitlines():
+            if line.startswith("SCALING "):
+                scaling["virtual8_cpu"] = json.loads(line[8:])
+    except Exception as e:
+        scaling["virtual8_error"] = repr(e)
+
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "..", "SOL_REPORT.json")
     with open(out_path, "w") as f:
         json.dump({"device": str(jax.devices()[0]),
                    "peak_hbm_gbs": PEAK_HBM_GBS,
-                   "kernels": rows}, f, indent=1)
+                   "kernels": rows,
+                   "scaling": scaling}, f, indent=1)
     print(f"wrote {os.path.abspath(out_path)}")
 
 

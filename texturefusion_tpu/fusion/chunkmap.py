@@ -92,6 +92,11 @@ class TSDFVolume:
         self._pending_obs: List[tuple] = []   # (slots, quality_dev, updated_dev, kf_id, sign)
         self.dirty_mesh: Set[int] = set()       # slots needing remesh
         self.chunks_created: int = 0
+        # per-slot last-touched integration generation: lets a DEFERRED
+        # GC consume skip candidates whose occupancy probe went stale
+        # (integrated again between probe and consume)
+        self._gen: int = 0
+        self._touch_gen = np.zeros(cap + 1, np.int64)
         # slots allocated since the last GC pass (candidates for the
         # empty-chunk garbage collection each fusion cycle,
         # ref: Chisel.h:184-216 GC of empty new chunks)
@@ -122,12 +127,27 @@ class TSDFVolume:
         cycle always reads the flushed `observations`)."""
         return self._observations
 
-    def flush_observations(self) -> None:
+    def flush_observations(self, ready_only: bool = False) -> None:
         """Apply deferred per-chunk observation-quality updates
-        (ONE batched device_get for all pending integrations)."""
+        (ONE batched device_get for all pending integrations).
+        ready_only=True applies only the ready PREFIX (dispatch order
+        preserved) and leaves the rest pending for the next cycle."""
         if not self._pending_obs:
             return
         pend, self._pending_obs = self._pending_obs, []
+        if ready_only:
+            n_ready = 0
+            for p in pend:
+                if not p[1].done():
+                    break
+                n_ready += 1
+            self._pending_obs = pend[n_ready:]
+            pend = pend[:n_ready]
+            if not pend:
+                return
+        self._apply_obs(pend)
+
+    def _apply_obs(self, pend: List[tuple]) -> None:
         from texturefusion_tpu.utils.async_fetch import resolve
         from texturefusion_tpu.utils.stopwatch import STOPWATCH
         with STOPWATCH.time("obs_resolve"):
@@ -287,6 +307,15 @@ class TSDFVolume:
             self._register_new(new_slots)
         return slots[slots >= 0]
 
+    def _use_pallas(self) -> bool:
+        """Pallas voxel kernel on TPU-class backends (Mosaic targets);
+        XLA path everywhere else (and under the CPU test backend)."""
+        if not self.cfg.use_pallas_voxel or self.sharding is not None:
+            return False   # sharded volumes run the XLA+shard_map path
+        if self.cfg.pallas_window > self.intr.height:
+            return False
+        return jax.default_backend() in ("tpu", "axon")
+
     def _padded(self, slots: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Pad slot list to the static budget; excess chunks are dropped
         with a warning count (no silent truncation)."""
@@ -331,11 +360,30 @@ class TSDFVolume:
         for start in range(0, len(all_slots), self.cfg.max_update_chunks):
             chunk_slots = all_slots[start:start + self.cfg.max_update_chunks]
             idx, active = self._padded(chunk_slots)
-            # fused gather→update→scatter: ONE dispatch, donated buffers
-            self.batch, quality, updated = tsdf_ops.integrate_frame_fused(
-                self.batch, self.origins, idx, active, depth, rgb,
-                quality_map, cam_to_world, jnp.float32(sign), self.intr,
-                self.cfg, with_color=with_color)
+            if self._use_pallas():
+                # hand-written voxel kernel: in-place row updates, image
+                # resident in VMEM (ops/pallas_voxel.py; parity-tested
+                # against the XLA path below)
+                from texturefusion_tpu.core import se3
+                from texturefusion_tpu.ops.pallas_voxel import \
+                    integrate_rows_pallas
+                img = jnp.stack([depth, rgb[..., 0] * 255.0,
+                                 rgb[..., 1] * 255.0, rgb[..., 2] * 255.0,
+                                 quality_map])
+                sdf, w, col, cc, quality, updated = integrate_rows_pallas(
+                    self.batch.sdf, self.batch.weight, self.batch.color,
+                    self.batch.color_count, self.origins[idx], idx,
+                    active.astype(jnp.int32), img,
+                    se3.inverse(cam_to_world).reshape(-1),
+                    jnp.asarray([sign], jnp.float32), self.intr, self.cfg,
+                    with_color=with_color, win=self.cfg.pallas_window)
+                self.batch = tsdf_ops.ChunkBatch(sdf, w, col, cc)
+            else:
+                # fused gather→update→scatter: ONE dispatch, donated buffers
+                self.batch, quality, updated = tsdf_ops.integrate_frame_fused(
+                    self.batch, self.origins, idx, active, depth, rgb,
+                    quality_map, cam_to_world, jnp.float32(sign), self.intr,
+                    self.cfg, with_color=with_color)
 
             if with_color and keyframe_id is not None:
                 # start the device→host fetch now on the helper thread;
@@ -437,6 +485,8 @@ class TSDFVolume:
         (ref: Chisel.h:184-216 FinalizeIntegrateChunks dirty marks)."""
         if len(slots) == 0:
             return
+        self._gen += 1
+        self._touch_gen[np.asarray(slots, np.int64)] = self._gen
         ids = self.ids[slots]
         nbrs = geometry.neighbor_offsets_6()
         all_ids = np.concatenate([ids] + [ids + o for o in nbrs])
@@ -480,7 +530,8 @@ class TSDFVolume:
         occ = _row_occupancy(self.batch.weight, jnp.asarray(padded))
         from texturefusion_tpu.utils.async_fetch import fetch_async
         return {"cand": cand, "ids": self.ids[cand].copy(),
-                "occ": fetch_async(occ)}
+                "occ": fetch_async(occ), "gen": self._gen,
+                "defer_ok": True}
 
     def gc_consume(self, pending: Optional[dict]) -> np.ndarray:
         """Release the probe's empty chunks. Safe against the one-cycle
@@ -490,18 +541,30 @@ class TSDFVolume:
         deferred flush) before release."""
         if pending is None:
             return np.zeros(0, np.int64)
-        self.flush_observations()   # async copies have landed by now
+        if pending.get("defer_ok") and not pending["occ"].done():
+            # probe still in flight: GC can wait one more cycle (the
+            # reference GCs lazily too, Chisel.h:184-216) — hand the
+            # pending probe back instead of stalling the fusion thread
+            return pending
+        self.flush_observations(ready_only=bool(pending.get("defer_ok")))
         from texturefusion_tpu.utils.async_fetch import resolve
         from texturefusion_tpu.utils.stopwatch import STOPWATCH
         cand, ids0 = pending["cand"], pending["ids"]
         with STOPWATCH.time("gc_occ_resolve"):
             occ = np.asarray(resolve(pending["occ"]))[: len(cand)]
+        probe_gen = pending.get("gen", self._gen)
         keep = []
         for s, o, cid in zip(cand.tolist(), occ.tolist(), ids0.tolist()):
             if (o <= 0.0 and self.used[s]
                     and (self.ids[s] == cid).all()
                     and not self._observations.get(s)):
-                keep.append(s)
+                if self._touch_gen[s] > probe_gen:
+                    # probe went stale (re-integrated while the consume
+                    # was deferred): re-probe next pass instead of
+                    # freeing on stale occupancy
+                    self.new_since_gc.add(int(s))
+                else:
+                    keep.append(s)
         empty = np.asarray(keep, np.int64)
         with STOPWATCH.time("gc_release"):
             self.release(empty)
@@ -532,9 +595,19 @@ class TSDFVolume:
     def retract_observations(self, keyframe_id: int) -> List[int]:
         """Remove a keyframe's observation-quality entries before
         re-integration (ref: MobileFusion.cpp:252-272 RetractObservations).
-        Returns affected slots."""
+        Only THIS keyframe's pending fetches are resolved first (its
+        integration is at least a cycle old, so they have landed); other
+        keyframes' in-flight fetches stay asynchronous. Returns affected
+        slots."""
+        mine = [p for p in self._pending_obs if p[2] == keyframe_id]
+        if mine:
+            # entries of different keyframes commute; same-keyframe
+            # entries apply here in their original dispatch order
+            self._pending_obs = [p for p in self._pending_obs
+                                 if p[2] != keyframe_id]
+            self._apply_obs(mine)
         touched = []
-        for s, obs in self.observations.items():
+        for s, obs in self._observations.items():
             if keyframe_id in obs:
                 del obs[keyframe_id]
                 touched.append(s)

@@ -89,10 +89,24 @@ class IncrementalMesher:
         self._cache_valid = False
         return len(dirty)
 
-    def consume_counts(self) -> int:
+    def consume_counts(self, ready_only: bool = False) -> int:
         """Apply the host count mirrors of prior update_meshes_async calls
-        (ONE batched fetch — free when the async copies finished)."""
+        (ONE batched fetch — free when the async copies finished).
+        ready_only=True consumes only fetches whose device values are
+        computed, deferring the rest one more cycle instead of stalling
+        the fusion thread on in-flight device work."""
         pending, self._pending_counts = self._pending_counts, []
+        if ready_only:
+            # consume only a READY PREFIX: count mirrors must apply in
+            # dispatch order (a later remesh of the same slot would
+            # otherwise be overwritten by an earlier deferred fetch)
+            n_ready = 0
+            for p in pending:
+                if not p[1].done():
+                    break
+                n_ready += 1
+            self._pending_counts = pending[n_ready:]
+            pending = pending[:n_ready]
         if not pending:
             return 0
         n = 0

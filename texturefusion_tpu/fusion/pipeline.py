@@ -104,7 +104,7 @@ class ReconstructionPipeline:
                 offload_radius=config.tsdf.streaming_radius)
             self.volume.streamer = self.streamer
         self.kf_states: Dict[int, KeyframeFusionState] = {}
-        self._disco_prefetch = None     # (kf_slot, dispatched discovery)
+        self._disco_prefetch: Dict[int, object] = {}  # kf_slot → dispatch
         self._last_seen_kf = -1
         self._inflight: List[dict] = []  # pipelined pending frames (FIFO)
         self._gc_pending = None         # deferred GC occupancy probe
@@ -280,19 +280,21 @@ class ReconstructionPipeline:
             self.stats["keyframes"] += 1
             # previous keyframe is now finished → fusion cycle
             # (ref: MobileFusion.cpp:274-406 runs on kflist.size()-2)
+            # dispatch chunk discovery for THIS keyframe now — it is
+            # consumed a whole keyframe interval later, when the NEXT
+            # promotion triggers this keyframe's integration, so the
+            # fetch has a full interval to land instead of milliseconds.
+            # (BA pose corrections between now and then are millimetres
+            # vs the 16 cm chunk extent; the truncation-band pad absorbs
+            # the depth-refinement delta.)
+            self._disco_prefetch[frame.keyframe_slot] = \
+                self.volume.dispatch_discovery(
+                    jnp.asarray(depth_refined),
+                    jnp.asarray(self.slam.keyframe_pose(frame.keyframe_slot)))
+            while len(self._disco_prefetch) > 4:   # unconsumed (non-fused)
+                self._disco_prefetch.pop(min(self._disco_prefetch))
             prev = frame.keyframe_slot - 1
             if prev >= 0:
-                st_prev = self.kf_states.get(prev)
-                if st_prev is not None and not st_prev.integrated:
-                    # dispatch chunk discovery NOW and start its host
-                    # copy: by the time the fusion cycle consumes it the
-                    # ~23 ms fetch RTT has already been paid in the
-                    # background (BA pose corrections between now and
-                    # then are millimetres vs the 16 cm chunk extent)
-                    self._disco_prefetch = (
-                        prev, self.volume.dispatch_discovery(
-                            jnp.asarray(st_prev.depth),
-                            jnp.asarray(self.slam.keyframe_pose(prev))))
                 self._submit_fusion(prev)
         else:
             # accumulate local-frame depth for keyframe refinement +
@@ -340,7 +342,7 @@ class ReconstructionPipeline:
         if async_mode:
             # drain deferred results BEFORE the final sync remesh — the
             # pending counts predate it and must not overwrite its counts
-            self._consume_cycle_results()
+            self._consume_cycle_results(force=True)
         # re-integrate any keyframe whose pose moved since integration
         self._reintegrate_drifted(max_updates=len(self.slam.keyframes))
         self.mesher.update_meshes()
@@ -394,21 +396,26 @@ class ReconstructionPipeline:
         else:
             st.integrated = False
 
-    def _consume_cycle_results(self) -> None:
-        """Apply the PREVIOUS cycle's deferred device results — the async
-        copies started a whole keyframe interval ago, so every fetch here
-        is (usually) a free host-memory read instead of a ~20 ms link RTT
-        stalled behind the device queue."""
+    def _consume_cycle_results(self, force: bool = False) -> None:
+        """Apply prior cycles' deferred device results. By default only
+        fetches whose device values are READY are consumed (the rest
+        wait one more cycle — the fusion thread never stalls on
+        in-flight device work); force=True drains everything (finish)."""
         with STOPWATCH.time("consume_mesh"):
-            self.mesher.consume_counts()
+            self.mesher.consume_counts(ready_only=not force)
         with STOPWATCH.time("consume_tex"):
-            self._texture_consume()
+            self._texture_consume(force=force)
         with STOPWATCH.time("consume_gc"):
             pend, self._gc_pending = self._gc_pending, None
             if pend is not None:
-                freed = self.volume.gc_consume(pend)
-                if len(freed):
-                    self.mesher.drop(freed)
+                if force:
+                    pend.pop("defer_ok", None)
+                out = self.volume.gc_consume(pend)
+                if isinstance(out, dict):
+                    self._gc_pending = out   # probe still in flight
+                elif len(out):
+                    self.mesher.drop(out)
+            self.volume.flush_observations(ready_only=not force)
 
     def fusion_cycle(self, finished_slot: int) -> None:
         """One map-thread cycle (ref: MobileFusion.cpp:274-406 tsdfFusion).
@@ -426,9 +433,7 @@ class ReconstructionPipeline:
         if st is not None and not st.integrated:
             if self.slam.keyframes[finished_slot].origin_index == 0:
                 # only origin-0 frames are fused (ref: MobileFusion.cpp:245)
-                pre = getattr(self, "_disco_prefetch", None)
-                pre = pre[1] if (pre is not None
-                                 and pre[0] == finished_slot) else None
+                pre = self._disco_prefetch.pop(finished_slot, None)
                 with STOPWATCH.time("integration"):
                     self._integrate_keyframe(st, sign=1.0, prefetched=pre)
         with STOPWATCH.time("meshing"):
@@ -441,7 +446,10 @@ class ReconstructionPipeline:
         # Chisel.h:184-216; clearRedudentFrameMemory MobileFusion.cpp:71-90)
         with STOPWATCH.time("gc"):
             if async_mode:
-                self._gc_pending = self.volume.gc_dispatch()
+                # a still-deferred probe keeps priority; new candidates
+                # stay in new_since_gc for the next dispatch
+                if self._gc_pending is None:
+                    self._gc_pending = self.volume.gc_dispatch()
             else:
                 freed = self.volume.gc_new_chunks()
                 if len(freed):
@@ -490,7 +498,7 @@ class ReconstructionPipeline:
     def _texture_cycle(self) -> None:
         """Hook for the texture stage (overridden by TexturedPipeline)."""
 
-    def _texture_consume(self) -> None:
+    def _texture_consume(self, force: bool = False) -> None:
         """Hook: apply the previous cycle's deferred texture results."""
 
     def _texture_final(self) -> None:
@@ -522,9 +530,13 @@ class ReconstructionPipeline:
             delta = float(np.linalg.norm(pose_new[:3, 3] - pose_old[:3, 3]))
             cosang = (np.trace(pose_new[:3, :3].T @ pose_old[:3, :3]) - 1) / 2
             ang = float(np.arccos(np.clip(cosang, -1.0, 1.0)))
-            sweep = delta + 2.0 * np.sin(min(ang, np.pi) / 2) * self.intr.far
+            # rotation sweep scored at HALF the far plane (band chunks
+            # cluster around the observed surface, not the frustum rim);
+            # a fringe chunk missed by reuse costs a sliver of truncation
+            # band that the next integration of the area restores
+            sweep = delta + ang * self.intr.far * 0.5
             reuse = (st.integrated_slots is not None
-                     and sweep < 0.5 * self.volume.extent)
+                     and sweep < 0.75 * self.volume.extent)
             with STOPWATCH.time("r_retract"):
                 self.volume.retract_observations(st.kf_slot)
             if reuse:
@@ -670,8 +682,8 @@ class TexturedPipeline(ReconstructionPipeline):
             if not async_mode:
                 self.texture.update_consume()
 
-    def _texture_consume(self) -> None:
-        self.texture.update_consume()
+    def _texture_consume(self, force: bool = False) -> None:
+        self.texture.update_consume(force=force)
 
     def _texture_final(self) -> None:
         """Synchronous catch-up cycle: every meshed chunk re-selected and

@@ -15,17 +15,16 @@ Kernel design (VMEM-resident, one HBM row read+write per touched chunk):
     copies, no scatter pass.
   * the packed [5, H, W] image (depth | rgb×255 | quality) lives whole
     in VMEM (~6 MB at VGA f32).
-  * the per-voxel image sample — an arbitrary 2D gather, which the VPU
-    cannot do directly — becomes TWO lane/sublane `dynamic_gather`s over
-    a WIN-row window of the image: first select the voxels' columns
-    (gather along lanes), then their rows (gather along sublanes). The
-    window covers the chunk's projected v-extent; chunks closer than
-    ~extent·fy/WIN (≈0.65 m at VGA/2 cm) can overflow it — those voxels
-    are masked out and the caller's fallback handles the frame (the
-    wrapper checks the near plane; see integrate_rows_pallas).
-  * voxel colors are stored [V, 3] interleaved in HBM; the kernel views
-    the row as [1, 3V] lanes and de/re-interleaves channels with a
-    static lane permutation (one dynamic_gather each way).
+  * the per-voxel image sample — an arbitrary 2D gather — runs as
+    ONE-HOT MATMULS on the MXU: Mosaic's `dynamic_gather` is vreg-local
+    (≤ 8×128 source), so instead each chunk selects its voxels' columns
+    with a [win, W] × [W, V] one-hot product over a WIN-row window and
+    reduces rows with a one-hot mask. The window covers the chunk's
+    projected v-extent; chunks closer than ~extent·fy/WIN (≈0.33 m at
+    VGA/256 — under any depth camera's min range) clamp it and mask the
+    clipped voxels.
+  * the [V, 3]-interleaved color row is channel-split by static slices
+    of a (1, V, 3) block + transposes — no lane shuffles.
 """
 
 from __future__ import annotations
@@ -43,6 +42,7 @@ from texturefusion_tpu.config import TSDFConfig
 from texturefusion_tpu.core import camera as cam
 
 RESET_SDF = 999.0
+_PREC = jax.lax.Precision.HIGHEST
 
 
 def _voxel_lane_coords(chunk: int, v_pad: int):
@@ -54,33 +54,34 @@ def _voxel_lane_coords(chunk: int, v_pad: int):
     return lane, vx, vy, vz
 
 
-def _sample_window(plane_ref, v0, dv, du, win: int, w_img: int):
-    """plane_ref: [H, W] VMEM ref. Sample plane[dv[j], du[j]] for each
-    voxel lane j via two dynamic_gathers over a [win, W] row window at
-    v0: first select each voxel's COLUMN (lane gather), then its ROW
-    (sublane gather). dv/du: [1, V] int32 pre-clamped to the image.
-    Works in L = max(V, W) lanes. Returns ([1, V] f32, in-window mask)."""
+def _sample_planes(img_ref, channels, v0, dv, du, win: int, w_img: int):
+    """Sample image planes at per-voxel integer pixel coords without any
+    gather: columns via a one-hot MXU product, rows via a one-hot masked
+    reduction, over a [win, W] row window starting at v0 (8-aligned).
+
+    img_ref: [5, H, W] VMEM ref; channels: tuple of plane indices.
+    dv/du: [1, V] int32 pre-clamped. Returns (list of [1, V] samples,
+    in-window mask [1, V])."""
     v_pad = du.shape[1]
-    lanes = max(v_pad, w_img)
-    winv = plane_ref[pl.ds(v0, win), :]                    # [win, W]
-    if lanes > w_img:
-        winv = jnp.pad(winv, ((0, 0), (0, lanes - w_img)))
-    du_l = du if v_pad == lanes else jnp.pad(du, ((0, 0), (0, lanes - v_pad)))
-    cols = jnp.take_along_axis(winv, jnp.broadcast_to(du_l, (win, lanes)),
-                               axis=1)                     # [win, L]
+    # one-hot per-voxel column selector [W, V]
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (w_img, v_pad), 0)
+    oc = (col_iota == du).astype(jnp.float32)             # du bcast [1,V]
     dvr = dv - v0
     inwin = (dvr >= 0) & (dvr < win)
-    dvr_l = jnp.clip(dvr, 0, win - 1)
-    if v_pad != lanes:
-        dvr_l = jnp.pad(dvr_l, ((0, 0), (0, lanes - v_pad)))
-    rows = jnp.take_along_axis(cols, jnp.broadcast_to(dvr_l, (win, lanes)),
-                               axis=0)                     # [win, L]
-    return rows[0:1, :v_pad], inwin
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (win, v_pad), 0)
+    orow = (row_iota == jnp.clip(dvr, 0, win - 1)).astype(jnp.float32)
+    outs = []
+    for c in channels:
+        winv = img_ref[c, pl.ds(v0, win), :]              # [win, W]
+        m1 = jnp.dot(winv, oc, preferred_element_type=jnp.float32,
+                     precision=_PREC)                      # [win, V]
+        outs.append(jnp.sum(m1 * orow, axis=0, keepdims=True))
+    return outs, inwin
 
 
 def _voxel_kernel(idx_ref, active_ref, origin_ref, pose_ref, sign_ref,
-                  img_ref, sdf_ref, w_ref, col_ref, cc_ref,
-                  sdf_out, w_out, col_out, cc_out, q_out,
+                  img_ref, sdf_ref, w_ref, cr_ref, cg_ref, cb_ref, cc_ref,
+                  sdf_out, w_out, cr_out, cg_out, cb_out, cc_out, q_out,
                   *, intr: cam.Intrinsics, cfg: TSDFConfig, win: int,
                   v_pad: int, with_color: bool):
     i = pl.program_id(0)
@@ -122,13 +123,17 @@ def _voxel_kernel(idx_ref, active_ref, origin_ref, pose_ref, sign_ref,
     du = jnp.clip(ui, 0, w_img - 1)
     dv = jnp.clip(vi, 0, h_img - 1)
 
-    # window start: median-free cheap center = min over in-image voxels
+    # window start: min over in-image voxels, aligned DOWN to the 8-row
+    # sublane tile (Mosaic requires provably aligned dynamic row slices)
     dv_for_min = jnp.where(in_img & lane_ok, dv, h_img - 1)
     v0 = jnp.clip(jnp.min(dv_for_min), 0, max(h_img - win, 0))
+    v0 = pl.multiple_of((v0 // 8) * 8, 8)
 
-    d_s, inwin = _sample_window(img_ref.at[0], v0, dv, du, win, w_img)
+    channels = (0, 1, 2, 3, 4) if with_color else (0,)
+    samples, inwin = _sample_planes(img_ref, channels, v0, dv, du, win,
+                                    w_img)
     in_img = in_img & inwin
-    d = jnp.where(in_img, d_s, 0.0)
+    d = jnp.where(in_img, samples[0], 0.0)
     surface_dist = d - cz_
 
     # truncation once per chunk at the chunk origin's camera depth
@@ -143,8 +148,8 @@ def _voxel_kernel(idx_ref, active_ref, origin_ref, pose_ref, sign_ref,
     sign = sign_ref[0]
     upd = in_img & depth_ok & band & active & lane_ok
 
-    sdf = sdf_ref[0:1, :]
-    wgt = w_ref[0:1, :]
+    sdf = sdf_ref[0]                # block (1, 1, V) → [1, V]
+    wgt = w_ref[0]
     w_in = jnp.where(upd, cfg.integration_weight * sign, 0.0)
     new_w = wgt + w_in
     new_sdf = (sdf * wgt + surface_dist * w_in) / (new_w + 1e-4)
@@ -153,29 +158,19 @@ def _voxel_kernel(idx_ref, active_ref, origin_ref, pose_ref, sign_ref,
     dead = upd & (new_w <= cfg.min_weight)
     new_sdf = jnp.where(dead, RESET_SDF, new_sdf)
     new_w = jnp.where(dead, 0.0, new_w)
-    sdf_out[0:1, :] = new_sdf
-    w_out[0:1, :] = new_w
+    sdf_out[0] = new_sdf
+    w_out[0] = new_w
 
     if with_color:
         color_band = jnp.abs(surface_dist) < (res_diag * 0.5
                                               + cfg.color_band_pad)
         cupd = in_img & depth_ok & color_band & active & lane_ok
-        r_s, _ = _sample_window(img_ref.at[1], v0, dv, du, win, w_img)
-        g_s, _ = _sample_window(img_ref.at[2], v0, dv, du, win, w_img)
-        b_s, _ = _sample_window(img_ref.at[3], v0, dv, du, win, w_img)
-        q_s, _ = _sample_window(img_ref.at[4], v0, dv, du, win, w_img)
+        r_s, g_s, b_s, q_s = samples[1], samples[2], samples[3], samples[4]
 
-        # de-interleave [1, 3V] row → three [1, V] channel vectors
-        row = col_ref[0:1, :]                               # [1, 3V]
-        lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * v_pad), 1)
-        # deint[c*v_pad + v] = row[v*3 + c]
-        c_of = lane3 // v_pad
-        v_of = lane3 % v_pad
-        deint = jnp.take_along_axis(row, v_of * 3 + c_of, axis=1)
-        cr = deint[:, 0 * v_pad:1 * v_pad]
-        cg = deint[:, 1 * v_pad:2 * v_pad]
-        cb = deint[:, 2 * v_pad:3 * v_pad]
-        cc = cc_ref[0:1, :]
+        cr = cr_ref[0]
+        cg = cg_ref[0]
+        cb = cb_ref[0]
+        cc = cc_ref[0]
 
         csign = jnp.where(cupd, sign, 0.0)
         nr = cr + jnp.where(cupd, r_s, 0.0) * sign
@@ -192,15 +187,10 @@ def _voxel_kernel(idx_ref, active_ref, origin_ref, pose_ref, sign_ref,
         ng = jnp.where(cupd, ng, cg)
         nb = jnp.where(cupd, nb, cb)
         ncc = jnp.where(cupd, ncc, cc)
-
-        # re-interleave channels → [1, 3V]
-        cat = jnp.concatenate([nr, ng, nb], axis=1)          # [1, 3V]
-        # out[v*3 + c] = cat[c*v_pad + v]
-        v_il = lane3 // 3
-        c_il = lane3 % 3
-        col_out[0:1, :] = jnp.take_along_axis(cat, c_il * v_pad + v_il,
-                                              axis=1)
-        cc_out[0:1, :] = ncc
+        cr_out[0] = nr
+        cg_out[0] = ng
+        cb_out[0] = nb
+        cc_out[0] = ncc
 
         # per-chunk observation quality + partial-view poison
         qv = jnp.where(cupd, q_s, 0.0)
@@ -209,14 +199,16 @@ def _voxel_kernel(idx_ref, active_ref, origin_ref, pose_ref, sign_ref,
         behind = jnp.any((cz_ <= 0) & lane_ok) & active
         quality = jnp.where(partial | behind, -1e11, quality)
     else:
-        col_out[0:1, :] = col_ref[0:1, :]
-        cc_out[0:1, :] = cc_ref[0:1, :]
+        cr_out[0] = cr_ref[0]
+        cg_out[0] = cg_ref[0]
+        cb_out[0] = cb_ref[0]
+        cc_out[0] = cc_ref[0]
         quality = jnp.float32(0.0)
 
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     updated = jnp.where(jnp.any(upd), 1.0, 0.0)
-    q_out[0:1, :] = jnp.where(lane128 == 0, quality,
-                              jnp.where(lane128 == 1, updated, 0.0))
+    q_out[0] = jnp.where(lane128 == 0, quality,
+                         jnp.where(lane128 == 1, updated, 0.0))
 
 
 @functools.partial(
@@ -237,7 +229,7 @@ def integrate_rows_pallas(
     intr: cam.Intrinsics,
     cfg: TSDFConfig,
     with_color: bool = True,
-    win: int = 128,
+    win: int = 256,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
            jnp.ndarray, jnp.ndarray]:
@@ -249,45 +241,43 @@ def integrate_rows_pallas(
     clamp; keep the near plane above that or use the XLA path)."""
     s1, v = sdf.shape
     u = idx.shape[0]
+    win = min(win, (intr.height // 8) * 8)
+
+    def im(i, idx, a, o, p, s):
+        return (idx[i], 0, 0)
+
+    row_spec = pl.BlockSpec((1, 1, v), im)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,   # idx, active, origins, pose, sign
         grid=(u,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),               # image
-            pl.BlockSpec((1, v), lambda i, idx, a, o, p, s: (idx[i], 0)),
-            pl.BlockSpec((1, v), lambda i, idx, a, o, p, s: (idx[i], 0)),
-            pl.BlockSpec((1, 3 * v), lambda i, idx, a, o, p, s: (idx[i], 0)),
-            pl.BlockSpec((1, v), lambda i, idx, a, o, p, s: (idx[i], 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, v), lambda i, idx, a, o, p, s: (idx[i], 0)),
-            pl.BlockSpec((1, v), lambda i, idx, a, o, p, s: (idx[i], 0)),
-            pl.BlockSpec((1, 3 * v), lambda i, idx, a, o, p, s: (idx[i], 0)),
-            pl.BlockSpec((1, v), lambda i, idx, a, o, p, s: (idx[i], 0)),
-            pl.BlockSpec((1, 128), lambda i, idx, a, o, p, s: (i, 0)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]          # image
+        + [row_spec] * 6,          # sdf, w, r, g, b, count rows
+        out_specs=[row_spec] * 6 + [
+            pl.BlockSpec((1, 1, 128),
+                         lambda i, idx, a, o, p, s: (i, 0, 0)),
         ],
     )
     kern = functools.partial(
         _voxel_kernel, intr=intr, cfg=cfg, win=win, v_pad=v,
         with_color=with_color)
-    col2d = color.reshape(s1, 3 * v)
+    row3 = jax.ShapeDtypeStruct((s1, 1, v), jnp.float32)
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((s1, v), jnp.float32),
-            jax.ShapeDtypeStruct((s1, v), jnp.float32),
-            jax.ShapeDtypeStruct((s1, 3 * v), jnp.float32),
-            jax.ShapeDtypeStruct((s1, v), jnp.float32),
-            jax.ShapeDtypeStruct((u, 128), jnp.float32),
+        out_shape=[row3] * 6 + [
+            jax.ShapeDtypeStruct((u, 1, 128), jnp.float32),
         ],
-        # tensor operands follow the 5 scalar-prefetch args:
-        # img=5 → out sdf, sdf=6 → 0, weight=7 → 1, color=8 → 2, cc=9 → 3
-        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3},
+        # flat input indices incl. the 5 scalar-prefetch args:
+        # img=5, sdf=6, w=7, r=8, g=9, b=10, cc=11 → outputs 0..5
+        input_output_aliases={6: 0, 7: 1, 8: 2, 9: 3, 10: 4, 11: 5},
         interpret=interpret,
     )(idx.astype(jnp.int32), active.astype(jnp.int32),
       origins_sel, world_to_cam, sign,
-      img_packed, sdf, weight, col2d, ccnt)
-    sdf_n, w_n, col_n, cc_n, q = out
-    return (sdf_n, w_n, col_n.reshape(s1, v, 3), cc_n,
-            q[:, 0], q[:, 1] > 0.5)
+      img_packed, sdf.reshape(s1, 1, v), weight.reshape(s1, 1, v),
+      color[:, :, 0].reshape(s1, 1, v), color[:, :, 1].reshape(s1, 1, v),
+      color[:, :, 2].reshape(s1, 1, v), ccnt.reshape(s1, 1, v))
+    sdf_n, w_n, cr_n, cg_n, cb_n, cc_n, q = out
+    col_n = jnp.stack([cr_n[:, 0], cg_n[:, 0], cb_n[:, 0]], axis=-1)
+    return (sdf_n.reshape(s1, v), w_n.reshape(s1, v),
+            col_n, cc_n.reshape(s1, v),
+            q[:, 0, 0], q[:, 0, 1] > 0.5)

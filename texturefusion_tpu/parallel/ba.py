@@ -41,10 +41,25 @@ def distributed_gn(poses: jnp.ndarray, edges: EdgeSums, n_kf: int,
 
     Edge arrays must have leading dim divisible by the mesh size (pad with
     valid=False). Returns (poses, err_before, err_after) — replicated.
+    JIT-compiled once per (mesh, n_kf, edge-bucket) — an eager shard_map
+    re-traces and dispatches op-by-op on every call.
     """
-    n_dev = mesh.shape[axis]
-    assert edges.s_w.shape[0] % n_dev == 0, "pad edges to mesh multiple"
+    return _distributed_gn_jit(mesh, axis, n_kf, cfg)(poses, edges, active)
 
+
+@functools.lru_cache(maxsize=None)
+def _distributed_gn_jit(mesh: Mesh, axis: str, n_kf: int, cfg: BAConfig):
+    n_dev = mesh.shape[axis]
+
+    def call(poses, edges, active):
+        assert edges.s_w.shape[0] % n_dev == 0, "pad edges to mesh multiple"
+        return _distributed_gn_body(poses, edges, active, mesh, axis,
+                                    n_kf, cfg)
+
+    return jax.jit(call)
+
+
+def _distributed_gn_body(poses, edges, active, mesh, axis, n_kf, cfg):
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), jax.tree.map(lambda _: P(axis), edges), P()),
@@ -114,11 +129,29 @@ def schur_gn(poses: jnp.ndarray, edges: EdgeSums, n_kf: int,
     dense replicated solve (lax.cond) — correctness never depends on the
     partition being favorable.
 
-    Returns (poses, err_before, err_after), replicated.
+    Returns (poses, err_before, err_after), replicated. JIT-compiled once
+    per (mesh, n_kf, edge-bucket) like distributed_gn.
     """
+    return _schur_gn_jit(mesh, axis, n_kf, cfg, sep_budget)(
+        poses, edges, active)
+
+
+@functools.lru_cache(maxsize=None)
+def _schur_gn_jit(mesh: Mesh, axis: str, n_kf: int, cfg: BAConfig,
+                  sep_budget: int):
     n_dev = mesh.shape[axis]
     assert n_kf % n_dev == 0, "pad n_kf to a mesh multiple"
-    assert edges.s_w.shape[0] % n_dev == 0, "pad edges to mesh multiple"
+
+    def call(poses, edges, active):
+        assert edges.s_w.shape[0] % n_dev == 0, "pad edges to mesh multiple"
+        return _schur_gn_body(poses, edges, active, mesh, axis, n_kf, cfg,
+                              sep_budget)
+
+    return jax.jit(call)
+
+
+def _schur_gn_body(poses, edges, active, mesh, axis, n_kf, cfg, sep_budget):
+    n_dev = mesh.shape[axis]
     blk = n_kf // n_dev           # keyframes per device block
     s_max = min(sep_budget, n_kf)
 

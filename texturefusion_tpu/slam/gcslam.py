@@ -220,18 +220,21 @@ class GCSLAM:
         edges = jax.tree.map(lambda a: a[:e_bucket], self.edges)
 
         n_dev = self.config.parallel.n_devices
-        if n_dev and n_dev > 1 and len(jax.devices()) >= n_dev:
+        multi = bool(n_dev and n_dev > 1 and len(jax.devices()) >= n_dev)
+        # keyframe-partitioned Schur reduction once the dense solve would
+        # dominate (BASELINE.json config 5; parallel/ba.py). Also engages
+        # on a single device (1-device mesh) so the Schur path runs in
+        # the live pipeline, not only under multi-device tests.
+        want_schur = bucket >= self.config.ba.schur_min_keyframes
+        if multi or want_schur:
             from texturefusion_tpu.parallel import ba as pba
             from texturefusion_tpu.parallel.mesh import make_mesh
 
-            mesh = make_mesh(n_dev)
+            mesh = make_mesh(n_dev if multi else 1)
             edges_s = pba.shard_edges(
                 pba.pad_edges_for_mesh(edges, mesh.size), mesh)
             errs = []
-            # keyframe-partitioned Schur reduction once the dense solve
-            # would dominate (BASELINE.json config 5; parallel/ba.py)
-            use_schur = (bucket >= self.config.ba.schur_min_keyframes
-                         and bucket % mesh.size == 0)
+            use_schur = want_schur and bucket % mesh.size == 0
             for r in range(self.config.ba.gn_rounds):
                 if use_schur:
                     poses, e0, e1 = pba.schur_gn(
@@ -450,17 +453,24 @@ class GCSLAM:
         probe, n_cand, handle = self._dispatch_probe(kp, tracked_stats)
         self._pending_promote = {
             "probe": probe, "n_cand": n_cand, "handle": handle,
-            "kf_slot": kf.slot, "last_slot": last_slot, "rel": rel}
+            "kf_slot": kf.slot, "last_slot": last_slot, "rel": rel,
+            "frame": len(self.frames)}
         self.fail_count = 0
 
-    def consume_pending_promote(self) -> None:
+    def consume_pending_promote(self, force: bool = True) -> None:
         """Apply a deferred promotion's probe results: loop-closure edges,
         minimum-disparity pose re-selection, descriptor-DB gating, BA
         (the deferred tail of ref GCSLAM.cpp:52-185 + optimizeKeyFrameMap).
-        Idempotent; called from the next update_frame / final_ba."""
-        pend, self._pending_promote = self._pending_promote, None
+        Idempotent. force=False consumes only once the probe's device
+        values are ready, up to a 3-frame grace (then it resolves anyway
+        so BA corrections never lag more than ~a keyframe interval)."""
+        pend = self._pending_promote
         if pend is None:
             return
+        if (not force and not pend["handle"].done()
+                and len(self.frames) - pend["frame"] < 3):
+            return
+        self._pending_promote = None
         from texturefusion_tpu.utils.async_fetch import resolve
         from texturefusion_tpu.utils.stopwatch import STOPWATCH
         with STOPWATCH.time("t_promote_consume"):
@@ -598,7 +608,7 @@ class GCSLAM:
         pipelined tracker dispatches one frame ahead of decisions), the
         relative pose is re-anchored by host-side composition instead of
         a re-registration dispatch."""
-        self.consume_pending_promote()   # deferred probe: landed by now
+        self.consume_pending_promote(force=False)  # deferred probe
         frame = FrameRecord(index=len(self.frames), timestamp=timestamp,
                             blurred=False)
         self.frames.append(frame)

@@ -91,6 +91,13 @@ class TextureManager:
         copies have landed; ref role: TexMap.cpp:257-406 view_selection +
         GeneratePatches, pipelined one keyframe deep here)."""
         from texturefusion_tpu.utils.stopwatch import STOPWATCH
+        if self._pending_cycle is not None:
+            # the previous cycle's results are still in flight (its
+            # consume was deferred): skip this dispatch — clobbering the
+            # pending record would lose a whole cycle's labels/uv — and
+            # carry the remeshed set so the next cycle covers it
+            self._carry |= set(remeshed or ())
+            return
         with STOPWATCH.time("tex_adjacency"):
             adjacency = mesher.chunk_adjacency()
         if not adjacency:
@@ -139,12 +146,16 @@ class TextureManager:
             "adjacency_slots": set(adjacency), "volume": volume,
             "mesher": mesher, "kf_states": dict(kf_states)}
 
-    def update_consume(self) -> None:
+    def update_consume(self, force: bool = True) -> None:
         """Apply a prior update_dispatch's results: atlas blits, uv/label
-        bookkeeping, wrong-mapping poisoning, per-keyframe transfers."""
+        bookkeeping, wrong-mapping poisoning, per-keyframe transfers.
+        force=False defers (returns) while the device results are still
+        in flight instead of stalling the caller."""
         from texturefusion_tpu.utils.stopwatch import STOPWATCH
         p = self._pending_cycle
         if not p:
+            return
+        if not force and not p["out"].done():
             return
         self._pending_cycle = None
         volume, mesher = p["volume"], p["mesher"]

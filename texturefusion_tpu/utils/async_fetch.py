@@ -44,6 +44,17 @@ class DeviceFetch:
     def result(self) -> Any:
         return jax.device_get(self.tree)
 
+    def done(self) -> bool:
+        """True when every leaf's value is computed (the async host copy
+        is then landed or at most one link RTT away). Consumers that can
+        tolerate one more cycle of staleness use this to skip resolving
+        fetches that would stall on in-flight device work."""
+        try:
+            return all(leaf.is_ready() if hasattr(leaf, "is_ready") else True
+                       for leaf in jax.tree.leaves(self.tree))
+        except Exception:
+            return True
+
 
 def fetch_async(tree: Any) -> DeviceFetch:
     """Start the device→host copies for a pytree; returns a handle whose
