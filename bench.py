@@ -101,13 +101,18 @@ def run(pipe_cls, config, packed, n_warm, timed_range):
     return pipe, len(timed_range) / dt
 
 
-def map_error_mm(pipe, scene) -> dict:
+def map_error_mm(pipe, scene, est, gt) -> dict:
     """Distance of exported mesh vertices to the analytic scene surface
     (the map-quality number ATE cannot see — reintegration, fusion and
-    meshing regressions move it)."""
+    meshing regressions move it). The map lives in the SLAM frame
+    (first keyframe = identity); align it into the ground-truth world
+    frame with the trajectory's Umeyama transform before evaluating."""
+    from texturefusion_tpu.io import tum
     verts, _, _, _ = pipe.mesher.full_mesh()
     if len(verts) == 0:
         return {"map_rms_mm": float("nan"), "map_median_mm": float("nan")}
+    rot, t = tum.align_umeyama(est, gt[: len(est)])
+    verts = verts @ rot.T + t
     d = np.abs(np.asarray(scene.sdf(jnp.asarray(verts))))
     return {"map_rms_mm": round(float(np.sqrt(np.mean(d ** 2))) * 1e3, 2),
             "map_median_mm": round(float(np.median(d)) * 1e3, 2)}
@@ -154,7 +159,7 @@ def main():
     pipe.finish()
     est = pipe.trajectory()
     ate = tum.ate_rmse(est, gt_poses[: len(est)])
-    merr = map_error_mm(pipe, scene)
+    merr = map_error_mm(pipe, scene, est, gt_poses)
     print("stats:", pipe.stats, file=sys.stderr)
     print(f"loop-closure/BA edges: {pipe.slam.n_edges} "
           f"keyframes: {len(pipe.slam.keyframes)}", file=sys.stderr)

@@ -207,7 +207,10 @@ def test_schur_gn_matches_dense():
     np.testing.assert_allclose(float(e0), float(e0_ref), rtol=1e-4)
     # both solves drive the residual to ~numerical zero; compare on the
     # scale of the initial error rather than the converged noise floor
-    assert abs(float(e1) - float(e1_ref)) < 1e-5 * float(e0)
+    # 3e-5·e0: both residuals sit at the converged float32 noise floor,
+    # whose exact value shifts with contraction order (the Schur path now
+    # runs jitted; XLA reorders the reductions)
+    assert abs(float(e1) - float(e1_ref)) < 3e-5 * float(e0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_poses),
                                rtol=2e-3, atol=2e-4)
 

@@ -162,8 +162,10 @@ class TextureConfig:
     # the map grows (ref: TexMap.cpp:257-406 incremental view selection)
     patch_refresh_budget: int = 768
     # static per-cycle projection budget of the incremental texture
-    # program (changed chunks beyond it carry over to the next cycle)
-    patch_project_budget: int = 768
+    # program (changed chunks beyond it carry over to the next cycle).
+    # Also sizes the per-cycle uv16/uv_valid fetch (~0.5 MB at 384) —
+    # the single biggest per-cycle device→host transfer
+    patch_project_budget: int = 384
     mrf_edge_weight: float = 0.5       # ref: TexMap.h:54-55
     mrf_sweeps: int = 12               # ICM sweeps (replaces mapmap tree solves)
     max_labels: int = 16               # per-chunk candidate keyframe labels

@@ -229,7 +229,19 @@ class TSDFVolume:
         slots = np.asarray([s for s in np.atleast_1d(slots) if s >= 0], np.int64)
         if len(slots) == 0:
             return
-        self.flush_observations()   # pending updates must not resurrect
+        # pending updates must not resurrect released slots' entries:
+        # flush the pending PREFIX up to the last entry touching them
+        # (those fetches are a cycle old — landed); younger unrelated
+        # entries stay asynchronous
+        rel = set(slots.tolist())
+        last = -1
+        for k, p in enumerate(self._pending_obs):
+            if rel.intersection(p[0].tolist()):
+                last = k
+        if last >= 0:
+            prefix = self._pending_obs[: last + 1]
+            self._pending_obs = self._pending_obs[last + 1:]
+            self._apply_obs(prefix)
         self.alloc.release(slots)
         for s in slots.tolist():
             cid = tuple(self.ids[s])

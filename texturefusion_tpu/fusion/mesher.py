@@ -46,7 +46,12 @@ class IncrementalMesher:
         self._host_cache: Dict[int, tuple] = {}
         self._cache_valid = False
         self._warned_overflow = False
-        self._pending_counts: list = []   # dispatched, counts not applied
+        self._pending_counts: list = []   # (seq, slots, fetch), unapplied
+        # monotonic dispatch sequence + per-slot last-drop sequence: a
+        # deferred count fetch must not resurrect counts of a slot
+        # dropped AFTER its dispatch (drop() then stays non-blocking)
+        self._seq = 0
+        self._drop_seq = np.full(cap + 1, -1, np.int64)
 
     # ------------------------------------------------------------- remesh
 
@@ -102,7 +107,7 @@ class IncrementalMesher:
             # otherwise be overwritten by an earlier deferred fetch)
             n_ready = 0
             for p in pending:
-                if not p[1].done():
+                if not p[2].done():
                     break
                 n_ready += 1
             self._pending_counts = pending[n_ready:]
@@ -112,16 +117,21 @@ class IncrementalMesher:
         n = 0
         from texturefusion_tpu.utils.async_fetch import resolve
         from texturefusion_tpu.utils.stopwatch import STOPWATCH
-        with STOPWATCH.time("mesh_counts_resolve"):
-            fetched = [resolve(fut) for _, fut in pending]
-        for (slots, _), (vc, tc) in zip(pending, fetched):
+        key = ("mesh_counts_resolve" if ready_only
+               else "mesh_counts_forced")
+        with STOPWATCH.time(key):
+            fetched = [resolve(fut) for _, _, fut in pending]
+        for (seq, slots, _), (vc, tc) in zip(pending, fetched):
+            # skip slots dropped after this remesh was dispatched
+            keep = self._drop_seq[slots] < seq
+            slots = slots[keep]
             n_real = len(slots)
             n += n_real
-            self.vcount[slots] = vc[:n_real]
-            self.tcount[slots] = tc[:n_real]
+            self.vcount[slots] = vc[: len(keep)][keep]
+            self.tcount[slots] = tc[: len(keep)][keep]
             if not self._warned_overflow and (
-                    (vc[:n_real] >= self.p_cap).any()
-                    or (tc[:n_real] >= self.t_cap).any()):
+                    (vc[: len(keep)] >= self.p_cap).any()
+                    or (tc[: len(keep)] >= self.t_cap).any()):
                 self._warned_overflow = True
                 warnings.warn("mesh pool per-chunk capacity clamped a "
                               "chunk; raise MeshConfig.pool_verts_per_chunk")
@@ -156,7 +166,8 @@ class IncrementalMesher:
             jnp.asarray(origins_p), active,
             vol.cfg.chunk_size, vol.cfg.voxel_resolution)
         from texturefusion_tpu.utils.async_fetch import fetch_async
-        return slots, fetch_async((vcount, tcount))
+        self._seq += 1
+        return self._seq, slots, fetch_async((vcount, tcount))
 
     # ------------------------------------------------------------- host views
 
@@ -207,7 +218,10 @@ class IncrementalMesher:
         slots = np.atleast_1d(slots).astype(np.int64)
         if len(slots) == 0:
             return
-        self.consume_counts()   # pending counts must not resurrect these
+        # non-blocking: pending count fetches dispatched BEFORE this drop
+        # are masked out at consume time via the drop-sequence stamp
+        self._seq += 1
+        self._drop_seq[slots] = self._seq
         self.vcount[slots] = 0
         self.tcount[slots] = 0
         self.pool = _zero_counts(self.pool, jnp.asarray(slots))

@@ -108,11 +108,12 @@ def load_tum_sequence(root: str, camera: Optional[CameraConfig] = None) -> TumSe
                        gt_timestamps=gt_ts, gt_poses=gt_poses)
 
 
-def ate_rmse(est_poses: np.ndarray, gt_poses: np.ndarray) -> float:
-    """Absolute trajectory error RMSE after SE3 (Umeyama, no scale) alignment.
-
-    est_poses/gt_poses: (N, 4, 4) with matching indices. This is the metric
-    the reference's trajectory.txt is evaluated with externally."""
+def align_umeyama(est_poses: np.ndarray, gt_poses: np.ndarray
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """SE3 (Umeyama, no scale) alignment est→gt from matched poses.
+    Returns (rot[3,3], t[3]): p_gt ≈ rot @ p_est + t. The estimated map
+    lives in the SLAM frame (first keyframe = identity); this is the
+    transform that carries it into the ground-truth world frame."""
     est_t = est_poses[:, :3, 3]
     gt_t = gt_poses[:, :3, 3]
     mu_e, mu_g = est_t.mean(0), gt_t.mean(0)
@@ -124,8 +125,17 @@ def ate_rmse(est_poses: np.ndarray, gt_poses: np.ndarray) -> float:
         s[2, 2] = -1
     rot = u @ s @ vt
     t = mu_g - rot @ mu_e
-    aligned = est_t @ rot.T + t
-    err = aligned - gt_t
+    return rot, t
+
+
+def ate_rmse(est_poses: np.ndarray, gt_poses: np.ndarray) -> float:
+    """Absolute trajectory error RMSE after SE3 (Umeyama, no scale) alignment.
+
+    est_poses/gt_poses: (N, 4, 4) with matching indices. This is the metric
+    the reference's trajectory.txt is evaluated with externally."""
+    rot, t = align_umeyama(est_poses, gt_poses)
+    aligned = est_poses[:, :3, 3] @ rot.T + t
+    err = aligned - gt_poses[:, :3, 3]
     return float(np.sqrt((err ** 2).sum(axis=1).mean()))
 
 

@@ -260,6 +260,51 @@ def _schur_gn_body(poses, edges, active, mesh, axis, n_kf, cfg, sep_budget):
     return run(poses, edges, active)
 
 
+def ba_rounds(poses: jnp.ndarray, edges_full: EdgeSums, n_kf: int,
+              active: jnp.ndarray, cfg: BAConfig, mesh: Mesh,
+              e_bucket: int, use_schur: bool, sep_budget: int,
+              axis: str = "shard"):
+    """The COMPLETE per-keyframe BA as one compiled program: edge-bucket
+    slice → mesh padding → gn_rounds× (distributed/Schur GN + outlier
+    pruning between rounds) — one dispatch instead of ~40 eager ops per
+    keyframe (slicing, padding and pruning dominated the tracking thread
+    when dispatched eagerly on the tunneled backend).
+
+    Returns (poses, edge_valid[e_bucket], errs[rounds, 2]) — device."""
+    return _ba_rounds_jit(mesh, axis, n_kf, e_bucket, cfg, use_schur,
+                          sep_budget)(poses, edges_full, active)
+
+
+@functools.lru_cache(maxsize=None)
+def _ba_rounds_jit(mesh: Mesh, axis: str, n_kf: int, e_bucket: int,
+                   cfg: BAConfig, use_schur: bool, sep_budget: int):
+    n_dev = mesh.shape[axis]
+    e_pad = ((e_bucket + n_dev - 1) // n_dev) * n_dev
+
+    def call(poses, edges_full, active):
+        edges = jax.tree.map(lambda a: a[:e_bucket], edges_full)
+        if e_pad != e_bucket:
+            edges = EdgeSums(*(jnp.pad(
+                a, [(0, e_pad - e_bucket)] + [(0, 0)] * (a.ndim - 1))
+                for a in edges))
+        errs = []
+        for r in range(cfg.gn_rounds):
+            if use_schur:
+                poses_n, e0, e1 = _schur_gn_body(
+                    poses, edges, active, mesh, axis, n_kf, cfg,
+                    sep_budget)
+            else:
+                poses_n, e0, e1 = _distributed_gn_body(
+                    poses, edges, active, mesh, axis, n_kf, cfg)
+            poses = poses_n
+            errs.append(jnp.stack([e0, e1]))
+            if r < cfg.gn_rounds - 1:
+                edges = fastba.prune_outlier_edges(poses, edges)
+        return poses, edges.valid[:e_bucket], jnp.stack(errs)
+
+    return jax.jit(call)
+
+
 def pad_edges_for_mesh(edges: EdgeSums, n_dev: int) -> EdgeSums:
     """Pad edge arrays so the leading dim divides the mesh size."""
     e = edges.s_w.shape[0]

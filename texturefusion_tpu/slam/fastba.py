@@ -276,10 +276,14 @@ def gauss_newton_rounds(poses: jnp.ndarray, edges: EdgeSums, n_kf: int,
     return out, err0, jnp.where(grew, err0, err1)
 
 
+@functools.partial(jax.jit, static_argnames=("factor",))
 def prune_outlier_edges(poses: jnp.ndarray, edges: EdgeSums,
                         factor: float = 3.0) -> EdgeSums:
     """Disable edges whose mean residual exceeds factor × the median
-    (ref: outlier-edge pruning, MultiViewGeometry.cpp:1165-1205)."""
+    (ref: outlier-edge pruning, MultiViewGeometry.cpp:1165-1205).
+    JIT-compiled: called between distributed GN rounds at keyframe rate —
+    an eager evaluation dispatches ~1000 tiny ops (~0.9 s/call measured
+    on the tunneled backend)."""
     e = edge_errors(poses, edges)
     mean_per_pt = e / jnp.maximum(edges.s_w, 1e-9)
     # masked median over VALID edges only: sort invalid rows to +inf and

@@ -231,25 +231,17 @@ class GCSLAM:
             from texturefusion_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh(n_dev if multi else 1)
-            edges_s = pba.shard_edges(
-                pba.pad_edges_for_mesh(edges, mesh.size), mesh)
-            errs = []
+            edges_in = self.edges
+            if multi:
+                edges_in = pba.shard_edges(edges_in, mesh)
             use_schur = want_schur and bucket % mesh.size == 0
-            for r in range(self.config.ba.gn_rounds):
-                if use_schur:
-                    poses, e0, e1 = pba.schur_gn(
-                        poses, edges_s, bucket, active, self.config.ba,
-                        mesh,
-                        sep_budget=self.config.ba.schur_separator_budget)
-                else:
-                    poses, e0, e1 = pba.distributed_gn(
-                        poses, edges_s, bucket, active, self.config.ba,
-                        mesh)
-                errs.append(jnp.stack([e0, e1]))   # device; fetched lazily
-                if r < self.config.ba.gn_rounds - 1:
-                    edges_s = fastba.prune_outlier_edges(poses, edges_s)
-            new_poses = poses
-            edges = jax.tree.map(lambda a: a[:e_bucket], edges_s)
+            # ONE compiled program: slice + pad + GN rounds + pruning
+            new_poses, valid, errs_arr = pba.ba_rounds(
+                poses, edges_in, bucket, active, self.config.ba, mesh,
+                e_bucket, use_schur,
+                self.config.ba.schur_separator_budget)
+            errs = list(errs_arr)               # device; fetched lazily
+            edges = edges._replace(valid=valid)
         else:
             new_poses, edges, errs = fastba.optimize(
                 poses, edges, bucket, active, self.config.ba)
