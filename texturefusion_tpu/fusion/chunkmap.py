@@ -500,14 +500,11 @@ class TSDFVolume:
         self._gen += 1
         self._touch_gen[np.asarray(slots, np.int64)] = self._gen
         ids = self.ids[slots]
-        nbrs = geometry.neighbor_offsets_6()
-        all_ids = np.concatenate([ids] + [ids + o for o in nbrs])
-        for cid in map(tuple, all_ids.tolist()):
-            s = self.slot_of.get(cid)
-            if s is not None:
-                self.dirty_mesh.add(s)
-        for s in slots.tolist():
-            self.dirty_mesh.add(int(s))
+        nbrs = np.asarray(geometry.neighbor_offsets_6(), np.int32)
+        nb = (ids[:, None, :] + nbrs[None]).reshape(-1, 3)
+        res = self.alloc.lookup(nb)     # one batched native lookup
+        self.dirty_mesh.update(res[res >= 0].tolist())
+        self.dirty_mesh.update(int(s) for s in slots.tolist())
 
     def garbage_collect(self, slots: np.ndarray) -> np.ndarray:
         """Free chunks among `slots` with no observed voxels

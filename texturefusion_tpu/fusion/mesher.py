@@ -55,19 +55,22 @@ class IncrementalMesher:
 
     # ------------------------------------------------------------- remesh
 
+    _CORNER_OFFS = np.asarray([(1, 0, 0), (0, 1, 0), (1, 1, 0), (0, 0, 1),
+                               (1, 0, 1), (0, 1, 1), (1, 1, 1)], np.int32)
+
     def _neighbor_slots(self, slots: np.ndarray) -> np.ndarray:
         """[U, 8] slot of self + 7 positive-corner neighbors (trash if absent)
-        (ref: ChunkManager.cpp:608-633 neighbor pointer table)."""
+        (ref: ChunkManager.cpp:608-633 neighbor pointer table). One batched
+        native lookup — a python dict loop here cost ~8·U GIL-held gets
+        per remesh on the fusion thread."""
         vol = self.volume
         ids = vol.ids[slots]
         trash = vol.cfg.capacity
         out = np.full((len(slots), 8), trash, np.int64)
         out[:, 0] = slots
-        offsets = {1: (1, 0, 0), 2: (0, 1, 0), 3: (1, 1, 0),
-                   4: (0, 0, 1), 5: (1, 0, 1), 6: (0, 1, 1), 7: (1, 1, 1)}
-        for k, off in offsets.items():
-            nb = ids + np.asarray(off, np.int32)
-            out[:, k] = [vol.slot_of.get(tuple(c), trash) for c in nb.tolist()]
+        nb = (ids[:, None, :] + self._CORNER_OFFS[None]).reshape(-1, 3)
+        res = vol.lookup(nb).reshape(len(slots), 7)
+        out[:, 1:] = np.where(res >= 0, res, trash)
         return out
 
     def update_meshes_async(self, max_chunks: int = 0) -> int:
@@ -257,21 +260,21 @@ class IncrementalMesher:
 
     def chunk_adjacency(self) -> Dict[int, np.ndarray]:
         """slot -> 6-neighbor slots that also have meshes (for the texture
-        MRF chunk graph, ref: TexMap.cpp:50-61 update_chunkgraph)."""
+        MRF chunk graph, ref: TexMap.cpp:50-61 update_chunkgraph). One
+        batched native lookup over all meshed chunks × 6 offsets."""
         vol = self.volume
-        nbrs = geometry.neighbor_offsets_6()
+        nbrs = np.asarray(geometry.neighbor_offsets_6(), np.int32)
         meshed = np.nonzero(self.tcount[:-1] > 0)[0]
-        meshed_set = set(meshed.tolist())
-        out = {}
-        for slot in meshed.tolist():
-            cid = vol.ids[slot]
-            adj = []
-            for off in nbrs:
-                s = vol.slot_of.get(tuple((cid + off).tolist()))
-                if s is not None and s in meshed_set:
-                    adj.append(s)
-            out[slot] = np.asarray(adj, np.int64)
-        return out
+        if len(meshed) == 0:
+            return {}
+        ids = vol.ids[meshed]
+        nb = (ids[:, None, :] + nbrs[None]).reshape(-1, 3)
+        res = vol.lookup(nb).reshape(len(meshed), len(nbrs))
+        is_meshed = np.zeros(vol.cfg.capacity + 1, bool)
+        is_meshed[meshed] = True
+        ok = (res >= 0) & is_meshed[np.clip(res, 0, vol.cfg.capacity)]
+        return {int(s): row[k] for s, row, k in
+                zip(meshed.tolist(), res, ok)}
 
 
 @functools.partial(jax.jit, donate_argnames=("pool",))

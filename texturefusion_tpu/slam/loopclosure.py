@@ -37,29 +37,20 @@ class KeyframeDescriptorDB:
 
     def add(self, kf_id: int, desc: jnp.ndarray, valid: jnp.ndarray,
             seed: int = 0) -> None:
-        """Insert a keyframe's descriptors (subsampled deterministically).
-        The reference gates insertion on reg_success_cnt < 4
-        (ref: GCSLAM.cpp:171-177) — callers enforce that."""
+        """Insert a keyframe's descriptors (subsampled deterministically,
+        valid-first). The reference gates insertion on reg_success_cnt < 4
+        (ref: GCSLAM.cpp:171-177) — callers enforce that. The valid-first
+        partition runs ON DEVICE: fetching the valid mask here cost one
+        blocking link RTT per keyframe on the tracking thread."""
         k = len(self.kf_ids)
         if k >= self.max_kf:
             return
         n = desc.shape[0]
         rng = np.random.default_rng(seed + kf_id)
-        order = rng.permutation(n)
-        # prefer valid descriptors in the subsample
-        vnp = np.asarray(valid)
-        order = np.concatenate([order[vnp[order]], order[~vnp[order]]])
-        pad_valid = np.ones(len(order), bool)
-        if len(order) < self.sub:
-            pad = np.zeros(self.sub - len(order), np.int64)
-            pad_valid = np.concatenate(
-                [pad_valid, np.zeros(self.sub - len(order), bool)])
-            order = np.concatenate([order, pad])
-        order = order[: self.sub]
-        pad_valid = pad_valid[: self.sub]
-        self.desc = self.desc.at[k].set(desc[jnp.asarray(order)])
-        self.valid = self.valid.at[k].set(valid[jnp.asarray(order)]
-                                          & jnp.asarray(pad_valid))
+        order = rng.permutation(max(n, self.sub)) % n   # host perm, no fetch
+        self.desc, self.valid = _db_insert_row(
+            self.desc, self.valid, jnp.int32(k), desc, valid,
+            jnp.asarray(order, jnp.int32), self.sub)
         self.kf_ids.append(kf_id)
 
     def __len__(self) -> int:
@@ -74,6 +65,21 @@ class KeyframeDescriptorDB:
         sims = _similarity_kernel(query_desc, query_valid,
                                   self.desc, self.valid)
         return np.asarray(sims)[:k]
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("sub",),
+                   donate_argnames=("db_desc", "db_valid"))
+def _db_insert_row(db_desc, db_valid, row, desc, valid, order, sub):
+    """Subsample `sub` descriptors valid-first along a host-chosen random
+    order (stable partition on device) and write row `row` in place."""
+    v_perm = valid[order]
+    part = jnp.argsort(~v_perm, stable=True)
+    sel = order[part][:sub]
+    return (db_desc.at[row].set(desc[sel]),
+            db_valid.at[row].set(v_perm[part][:sub]))
 
 
 @jax.jit
