@@ -262,6 +262,13 @@ def main():
         for line in out.stdout.splitlines():
             if line.startswith("SCALING "):
                 scaling["virtual8_cpu"] = json.loads(line[8:])
+                scaling["virtual8_note"] = (
+                    "8 virtual CPU devices on a 2-core host: validates the "
+                    "collective lowering, NOT a speedup measurement — the "
+                    "virtual devices time-share the same cores (see "
+                    "examples/bench_multichip.py docstring; real multi-chip "
+                    "hardware is absent from this environment, the "
+                    "dryrun_multichip mesh is the agreed proxy)")
     except Exception as e:
         scaling["virtual8_error"] = repr(e)
 

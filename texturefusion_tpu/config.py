@@ -117,9 +117,9 @@ class TSDFConfig:
     # bit-parity tested against the XLA formulation in ops/tsdf.py.
     # Default OFF on measurement: Mosaic's dynamic_gather is vreg-local,
     # so the kernel samples the image with one-hot MXU products — ~160×
-    # the useful work — and measures ~20-55 ms/integrate vs the XLA
-    # path's 0.25 ms (XLA's native gather fusion wins on TPU; see
-    # PARITY.md §2.3). The kernel samples through a pallas_window-row
+    # the useful FLOPs — measuring 1.3 ms/integrate vs the XLA path's
+    # 0.38 ms (SOL_REPORT.json; XLA's native gather fusion wins on TPU,
+    # see PARITY.md §2.3). The kernel samples through a pallas_window-row
     # window: chunks nearer than chunk_extent·fy/pallas_window (~0.33 m
     # at VGA/256 — under any depth camera's min range) clamp it and
     # skip the clipped voxels.
