@@ -164,6 +164,16 @@ class ReconstructionPipeline:
             self._inflight.append(pending)
             depth = max(1, self.config.parallel.pipeline_depth)
             while len(self._inflight) > depth:
+                # ADAPTIVE depth: at the nominal depth, finalize only if
+                # the frame's decision stats have landed — otherwise let
+                # it ride one more frame (bounded at depth+1) instead of
+                # stalling the tracking thread on the link. The stale-ref
+                # re-anchoring path absorbs the occasional extra frame.
+                if (len(self._inflight) == depth + 1
+                        and self._inflight[0]["stats2"] is not None
+                        and hasattr(self._inflight[0]["stats2"], "done")
+                        and not self._inflight[0]["stats2"].done()):
+                    break
                 self._finalize_frame(self._inflight.pop(0))
         else:
             self._finalize_frame(pending)
