@@ -138,7 +138,11 @@ def main():
         ba=BAConfig(schur_min_keyframes=16),
         tsdf=TSDFConfig(voxel_resolution=0.02, capacity=16384,
                         max_update_chunks=1024),
-        parallel=ParallelConfig(async_fusion=True),
+        # pipeline_depth=2: frames arrive back-to-back here (no sensor
+        # cadence), so one frame of pipelining cannot cover the ~25-40 ms
+        # stats-fetch RTT — two frames of device work can. The stale-ref
+        # re-anchoring path absorbs the extra frame of keyframe lag.
+        parallel=ParallelConfig(async_fusion=True, pipeline_depth=2),
     )
     intr = cam.Intrinsics.from_config(config.camera)
     n_frames = 120

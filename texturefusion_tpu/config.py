@@ -72,6 +72,10 @@ class TrackingConfig:
     # because its per-candidate match is ~1 ms of CPU; on a tunneled
     # accelerator the probe fetch costs a ~22 ms link RTT.
     defer_promote: bool = True
+    # retroactive re-registration of stale-finalized pipelined frames
+    # against their adopted keyframe (async; adopted when it lands).
+    # Restores unpipelined tracking accuracy at pipeline_depth ≥ 2.
+    refine_stale: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -107,8 +111,10 @@ class TSDFConfig:
     truncation_const: float = 0.001504
     truncation_scale: float = 6.0
     integration_weight: float = 1.0    # ConstantWeighter(1)
-    use_carving: bool = True
-    carving_dist: float = 0.05
+    # NOTE: the reference declares carving knobs (MobileFusion.h:219-220
+    # useCarving/carvingDist) but its production AVX integration path
+    # never reads them; parity here is BY OMISSION — no carving knobs
+    # exist rather than knobs that silently do nothing.
     min_weight: float = 0.5            # weight below which voxel resets
     color_band_pad: float = 0.01       # color update band ±(res·√3/2 + 0.01)
     color_saturation: float = 120.0    # accumulator rescale threshold (÷4)

@@ -85,10 +85,17 @@ class TSDFVolume:
         self.slot_of: Dict[Tuple[int, int, int], int] = {}  # synced view
         self.ids = np.zeros((cap, 3), np.int32)             # synced view
         self.used = np.zeros(cap, bool)                     # synced view
-        # chunk slot -> {keyframe_id: observation quality}; updates are
-        # DEFERRED device fetches (each dispatch+sync costs ~24 ms on a
-        # tunneled backend) — flushed lazily on first read
-        self._observations: Dict[int, Dict[int, float]] = {}
+        # per-(chunk, keyframe) observation quality as DENSE host arrays
+        # [cap+1, max_kf] — presence is _obs_mask; every consumer
+        # (flush, GC checks, retraction, MRF data-cost assembly) is a
+        # vectorized numpy op. The previous dict-of-dicts burned ~100 ms
+        # of GIL-held Python per fusion cycle in per-entry loops, which
+        # starved the 2-core host's tracking thread. Updates are DEFERRED
+        # device fetches (each sync costs ~24 ms on a tunneled backend) —
+        # flushed lazily on first read.
+        self._max_kf = config.ba.max_keyframes
+        self._obs_q = np.zeros((cap + 1, self._max_kf), np.float32)
+        self._obs_mask = np.zeros((cap + 1, self._max_kf), bool)
         self._pending_obs: List[tuple] = []   # (slots, quality_dev, updated_dev, kf_id, sign)
         self.dirty_mesh: Set[int] = set()       # slots needing remesh
         self.chunks_created: int = 0
@@ -107,25 +114,60 @@ class TSDFVolume:
 
     @property
     def observations(self) -> Dict[int, Dict[int, float]]:
+        """Dict-of-dicts SNAPSHOT of the observation table (flushed).
+        For checkpointing / inspection — the hot paths read the dense
+        arrays via obs_arrays()/obs_row() instead."""
         self.flush_observations()
-        return self._observations
+        out: Dict[int, Dict[int, float]] = {}
+        rows, cols = np.nonzero(self._obs_mask[: self.cfg.capacity])
+        for s, k in zip(rows.tolist(), cols.tolist()):
+            out.setdefault(s, {})[k] = float(self._obs_q[s, k])
+        return out
 
     @observations.setter
     def observations(self, value: Dict[int, Dict[int, float]]) -> None:
         self._pending_obs = []
-        self._observations = value
+        self._obs_q[:] = 0.0
+        self._obs_mask[:] = False
+        for s, d in value.items():
+            for kf, q in d.items():
+                self._obs_q[int(s), int(kf)] = q
+                self._obs_mask[int(s), int(kf)] = True
 
-    @property
-    def observations_unflushed(self) -> Dict[int, Dict[int, float]]:
-        """The observation table WITHOUT resolving pending device fetches.
+    def obs_arrays(self, flush: bool = True):
+        """The dense observation arrays (q [cap+1, max_kf] f32,
+        mask [cap+1, max_kf] bool) — the hot-path view.
 
-        Staleness contract: entries from integrations whose quality fetch
-        has not been flushed are missing, and entries retracted by a
+        flush=False skips resolving pending device fetches. Staleness
+        contract: entries from integrations whose quality fetch has not
+        been flushed are missing, and entries retracted by a
         de-integration whose flush is pending are still present — both
         self-correct at the next flush (the async texture cycle reads
         this view and tolerates the one-cycle lag; the final catch-up
-        cycle always reads the flushed `observations`)."""
-        return self._observations
+        cycle always reads the flushed view)."""
+        if flush:
+            self.flush_observations()
+        return self._obs_q, self._obs_mask
+
+    def obs_row(self, slot: int) -> Dict[int, float]:
+        """One slot's {keyframe: quality} dict (streaming offload)."""
+        k = np.nonzero(self._obs_mask[slot])[0]
+        return {int(j): float(self._obs_q[slot, j]) for j in k.tolist()}
+
+    def set_obs_row(self, slot: int, d: Dict[int, float]) -> None:
+        self._obs_q[slot] = 0.0
+        self._obs_mask[slot] = False
+        for kf, q in d.items():
+            self._obs_q[slot, int(kf)] = q
+            self._obs_mask[slot, int(kf)] = True
+
+    def poison_observation(self, slot: int, kf: int) -> None:
+        """Mark a wrong-mapping (chunk, keyframe) pair so the MRF never
+        re-selects it (ref: MobileFusion.cpp:330-343 datacost removal).
+        The entry stays PRESENT (GC must still treat the chunk as
+        observed) with a strongly negative quality."""
+        if self._obs_mask[slot, kf]:
+            self._obs_q[slot, kf] = -1e11
 
     def flush_observations(self, ready_only: bool = False) -> None:
         """Apply deferred per-chunk observation-quality updates
@@ -152,15 +194,20 @@ class TSDFVolume:
         from texturefusion_tpu.utils.stopwatch import STOPWATCH
         with STOPWATCH.time("obs_resolve"):
             fetched = [resolve(qu) for _, qu, _, _ in pend]
-        for (slots, _, kf_id, sign), (q_np, u_np) in zip(pend, fetched):
-            for s, q, up in zip(slots.tolist(), q_np.tolist(), u_np.tolist()):
-                if not up:
-                    continue
-                obs = self._observations.setdefault(int(s), {})
+        with STOPWATCH.time("obs_apply"):
+            for (slots, _, kf_id, sign), (q_np, u_np) in zip(pend, fetched):
+                sl = np.asarray(slots, np.int64)
+                # quality/updated are padded to the dispatch bucket —
+                # only the first len(slots) lanes are real
+                q_arr = np.asarray(q_np)[: len(sl)]
+                up = np.asarray(u_np, bool)[: len(sl)]
+                sl = sl[up]
                 if sign > 0:
-                    obs[kf_id] = float(q)
+                    self._obs_q[sl, kf_id] = q_arr[up]
+                    self._obs_mask[sl, kf_id] = True
                 else:
-                    obs.pop(kf_id, None)
+                    self._obs_q[sl, kf_id] = 0.0
+                    self._obs_mask[sl, kf_id] = False
 
     @property
     def free(self) -> List[int]:
@@ -243,12 +290,13 @@ class TSDFVolume:
             self._pending_obs = self._pending_obs[last + 1:]
             self._apply_obs(prefix)
         self.alloc.release(slots)
+        self._obs_q[slots] = 0.0
+        self._obs_mask[slots] = False
         for s in slots.tolist():
             cid = tuple(self.ids[s])
             if self.slot_of.get(cid) == s:
                 del self.slot_of[cid]
             self.used[s] = False
-            self._observations.pop(s, None)
             self.dirty_mesh.discard(s)
         # bucketed reset (pad rows hit the trash slot, already reset)
         idx = jnp.asarray(self._bucket_slots(slots, self.cfg.capacity))
@@ -529,9 +577,8 @@ class TSDFVolume:
         cycle's integrations); candidates are re-checked at consume."""
         if not self.new_since_gc:
             return None
-        cand = np.asarray(
-            [s for s in sorted(self.new_since_gc)
-             if self.used[s] and not self._observations.get(s)], np.int64)
+        cand = np.asarray(sorted(self.new_since_gc), np.int64)
+        cand = cand[self.used[cand] & ~self._obs_mask[cand].any(axis=1)]
         self.new_since_gc.clear()
         if len(cand) == 0:
             return None
@@ -562,19 +609,15 @@ class TSDFVolume:
         with STOPWATCH.time("gc_occ_resolve"):
             occ = np.asarray(resolve(pending["occ"]))[: len(cand)]
         probe_gen = pending.get("gen", self._gen)
-        keep = []
-        for s, o, cid in zip(cand.tolist(), occ.tolist(), ids0.tolist()):
-            if (o <= 0.0 and self.used[s]
-                    and (self.ids[s] == cid).all()
-                    and not self._observations.get(s)):
-                if self._touch_gen[s] > probe_gen:
-                    # probe went stale (re-integrated while the consume
-                    # was deferred): re-probe next pass instead of
-                    # freeing on stale occupancy
-                    self.new_since_gc.add(int(s))
-                else:
-                    keep.append(s)
-        empty = np.asarray(keep, np.int64)
+        ok = ((occ <= 0.0) & self.used[cand]
+              & (self.ids[cand] == ids0).all(axis=1)
+              & ~self._obs_mask[cand].any(axis=1))
+        # probe went stale (re-integrated while the consume was
+        # deferred): re-probe next pass instead of freeing on stale
+        # occupancy
+        stale = ok & (self._touch_gen[cand] > probe_gen)
+        self.new_since_gc.update(cand[stale].tolist())
+        empty = cand[ok & ~stale]
         with STOPWATCH.time("gc_release"):
             self.release(empty)
         return empty
@@ -592,9 +635,8 @@ class TSDFVolume:
         if not self.new_since_gc:
             return np.zeros(0, np.int64)
         self.flush_observations()
-        cand = np.asarray(
-            [s for s in sorted(self.new_since_gc)
-             if self.used[s] and not self._observations.get(s)], np.int64)
+        cand = np.asarray(sorted(self.new_since_gc), np.int64)
+        cand = cand[self.used[cand] & ~self._obs_mask[cand].any(axis=1)]
         self.new_since_gc.clear()
         if len(cand) == 0:
             return cand
@@ -615,12 +657,10 @@ class TSDFVolume:
             self._pending_obs = [p for p in self._pending_obs
                                  if p[2] != keyframe_id]
             self._apply_obs(mine)
-        touched = []
-        for s, obs in self._observations.items():
-            if keyframe_id in obs:
-                del obs[keyframe_id]
-                touched.append(s)
-        return touched
+        touched = np.nonzero(self._obs_mask[:, keyframe_id])[0]
+        self._obs_mask[touched, keyframe_id] = False
+        self._obs_q[touched, keyframe_id] = 0.0
+        return touched.tolist()
 
     # ---------------------------------------------------------- queries
 

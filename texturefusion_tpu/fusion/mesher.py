@@ -130,11 +130,15 @@ class IncrementalMesher:
             slots = slots[keep]
             n_real = len(slots)
             n += n_real
-            self.vcount[slots] = vc[: len(keep)][keep]
-            self.tcount[slots] = tc[: len(keep)][keep]
+            vc_kept = vc[: len(keep)][keep]
+            tc_kept = tc[: len(keep)][keep]
+            self.vcount[slots] = vc_kept
+            self.tcount[slots] = tc_kept
+            # overflow check on the APPLIED (drop-masked) counts only — a
+            # slot dropped after dispatch must not fire a spurious warning
             if not self._warned_overflow and (
-                    (vc[: len(keep)] >= self.p_cap).any()
-                    or (tc[: len(keep)] >= self.t_cap).any()):
+                    (vc_kept >= self.p_cap).any()
+                    or (tc_kept >= self.t_cap).any()):
                 self._warned_overflow = True
                 warnings.warn("mesh pool per-chunk capacity clamped a "
                               "chunk; raise MeshConfig.pool_verts_per_chunk")
@@ -227,7 +231,12 @@ class IncrementalMesher:
         self._drop_seq[slots] = self._seq
         self.vcount[slots] = 0
         self.tcount[slots] = 0
-        self.pool = _zero_counts(self.pool, jnp.asarray(slots))
+        # BUCKETED scatter: GC frees a different slot count every cycle,
+        # and an exact-length index would compile a fresh program per
+        # count (~200 ms each through the tunnel). Pad lanes hit the
+        # trash row, whose counts are never read.
+        padded = self.volume._bucket_slots(slots, self.volume.cfg.capacity)
+        self.pool = _zero_counts(self.pool, jnp.asarray(padded))
         self._cache_valid = False
 
     def full_mesh(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -258,23 +267,30 @@ class IncrementalMesher:
         return (np.concatenate(vs), np.concatenate(fs),
                 np.concatenate(cs), np.concatenate(ns))
 
-    def chunk_adjacency(self) -> Dict[int, np.ndarray]:
-        """slot -> 6-neighbor slots that also have meshes (for the texture
-        MRF chunk graph, ref: TexMap.cpp:50-61 update_chunkgraph). One
-        batched native lookup over all meshed chunks × 6 offsets."""
+    def chunk_adjacency_arrays(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(meshed_slots [S], nbr_slots [S, 6]) — 6-neighbor slots that
+        also have meshes, −1 where absent (the texture MRF chunk graph,
+        ref: TexMap.cpp:50-61 update_chunkgraph). One batched native
+        lookup over all meshed chunks × 6 offsets; fully vectorized so
+        the fusion thread never loops per chunk."""
         vol = self.volume
         nbrs = np.asarray(geometry.neighbor_offsets_6(), np.int32)
         meshed = np.nonzero(self.tcount[:-1] > 0)[0]
         if len(meshed) == 0:
-            return {}
+            return meshed, np.zeros((0, 6), np.int64)
         ids = vol.ids[meshed]
         nb = (ids[:, None, :] + nbrs[None]).reshape(-1, 3)
         res = vol.lookup(nb).reshape(len(meshed), len(nbrs))
         is_meshed = np.zeros(vol.cfg.capacity + 1, bool)
         is_meshed[meshed] = True
         ok = (res >= 0) & is_meshed[np.clip(res, 0, vol.cfg.capacity)]
-        return {int(s): row[k] for s, row, k in
-                zip(meshed.tolist(), res, ok)}
+        return meshed, np.where(ok, res, -1)
+
+    def chunk_adjacency(self) -> Dict[int, np.ndarray]:
+        """Dict view of chunk_adjacency_arrays (compat/inspection)."""
+        meshed, nbr = self.chunk_adjacency_arrays()
+        return {int(s): row[row >= 0] for s, row in
+                zip(meshed.tolist(), nbr)}
 
 
 @functools.partial(jax.jit, donate_argnames=("pool",))

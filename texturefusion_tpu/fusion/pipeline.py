@@ -37,6 +37,14 @@ from texturefusion_tpu.ops import preprocess
 from texturefusion_tpu.slam.gcslam import GCSLAM
 from texturefusion_tpu.utils.stopwatch import STOPWATCH
 
+import jax
+
+# the stale-frame keyframe-refinement fallback runs outside the fused
+# frame step; uncompiled it dispatched ~90 eager primitives (~60 ms of
+# host time per call — cProfile r5)
+_fuse_depth_jit = jax.jit(preprocess.fuse_depth_into_keyframe,
+                          static_argnames=("intr",))
+
 
 @dataclasses.dataclass
 class KeyframeFusionState:
@@ -49,6 +57,7 @@ class KeyframeFusionState:
     quality: "jnp.ndarray"         # device-resident
     local_depths: List["jnp.ndarray"]       # subsampled local-frame depths
     local_rel_poses: List[np.ndarray]       # frame→keyframe relative poses
+    local_frame_idx: List[int] = dataclasses.field(default_factory=list)
     depth_weight: Optional["jnp.ndarray"] = None  # running fusion weight
     integrated_pose: Optional[np.ndarray] = None   # pose_sophus[1]
     integrated: bool = False
@@ -248,8 +257,9 @@ class ReconstructionPipeline:
 
         # blur gate blocks keyframe promotion (ref: BasicAPI.cpp:1256-1266,
         # GCSLAM.cpp:315); threshold ≤ 0 disables (synthetic scenes score
-        # below the real-image threshold). Evaluated LAZILY — the scalar
-        # fetch only happens at promotion time.
+        # below the real-image threshold). The blur score rides the
+        # per-frame stats fetch; only the first frame (no tracked
+        # dispatch) falls back to the lazy scalar fetch.
         blur_thresh = self.config.tracking.blur_threshold
         if blur_thresh > 0:
             blurred = lambda: bool(float(_blur) < blur_thresh)  # noqa: E731
@@ -261,7 +271,9 @@ class ReconstructionPipeline:
             with STOPWATCH.time("t_stats_sync"):
                 s2 = p["stats2"]
                 s2 = s2.result() if hasattr(s2, "result") else np.asarray(s2)
-            stats, stats_ff = s2[0], s2[1]
+            stats, stats_ff = s2[:21], s2[21:42]
+            if blur_thresh > 0:
+                blurred = bool(s2[42] < blur_thresh)
         with STOPWATCH.time("tracking"):
             frame = self.slam.update_frame(gray, depth_refined,
                                            p["timestamp"],
@@ -294,13 +306,15 @@ class ReconstructionPipeline:
             # consumed a whole keyframe interval later, when the NEXT
             # promotion triggers this keyframe's integration, so the
             # fetch has a full interval to land instead of milliseconds.
-            # (BA pose corrections between now and then are millimetres
-            # vs the 16 cm chunk extent; the truncation-band pad absorbs
-            # the depth-refinement delta.)
-            self._disco_prefetch[frame.keyframe_slot] = \
+            # The dispatch pose is recorded: loop-closure BA corrections
+            # inside that window can be cm-scale, so the consume side
+            # re-validates the pose delta and falls back to a fresh
+            # discovery when the candidate set may have shifted.
+            disco_pose = self.slam.keyframe_pose(frame.keyframe_slot)
+            self._disco_prefetch[frame.keyframe_slot] = (
                 self.volume.dispatch_discovery(
-                    jnp.asarray(depth_refined),
-                    jnp.asarray(self.slam.keyframe_pose(frame.keyframe_slot)))
+                    jnp.asarray(depth_refined), jnp.asarray(disco_pose)),
+                disco_pose)
             while len(self._disco_prefetch) > 4:   # unconsumed (non-fused)
                 self._disco_prefetch.pop(min(self._disco_prefetch))
             prev = frame.keyframe_slot - 1
@@ -316,6 +330,7 @@ class ReconstructionPipeline:
                 if len(st.local_depths) < n_keep:
                     st.local_depths.append(depth_refined)  # device-resident
                     st.local_rel_poses.append(frame.rel_to_keyframe)
+                    st.local_frame_idx.append(frame.index)
                 if not st.integrated:
                     # adopt the keyframe depth refined INSIDE the fused
                     # frame step (ref: refineKeyframesSIMD
@@ -333,10 +348,9 @@ class ReconstructionPipeline:
                             rel = (frame.rel_pose_dev
                                    if frame.rel_pose_dev is not None
                                    else jnp.asarray(frame.rel_to_keyframe))
-                            st.depth, st.depth_weight = \
-                                preprocess.fuse_depth_into_keyframe(
-                                    jnp.asarray(st.depth), st.depth_weight,
-                                    depth_refined, rel, intr)
+                            st.depth, st.depth_weight = _fuse_depth_jit(
+                                jnp.asarray(st.depth), st.depth_weight,
+                                depth_refined, rel, intr)
 
     def finish(self) -> None:
         """Flush: fuse remaining keyframes and run final re-integration
@@ -388,6 +402,13 @@ class ReconstructionPipeline:
                 jnp.asarray(st.rgb.astype(np.float32) / 255.0),
                 jnp.asarray(st.quality), pose_j, keyframe_id=kf_id,
                 sign=sign, slots=slots)
+        if sign > 0 and not st.integrated and st.local_frame_idx:
+            # adopt any retroactively-refined stale-frame rel poses
+            # (gcslam.consume_pending_refine) BEFORE first integration;
+            # frozen afterwards so de/re-integration cancels exactly
+            st.local_rel_poses = [
+                self.slam.frames[i].rel_to_keyframe
+                for i in st.local_frame_idx]
         # local frames: depth-only, reusing the keyframe's chunk set — the
         # local frames view (almost) the same volume (tracked below the
         # disparity gate), so re-discovery per frame is redundant; all of
@@ -420,12 +441,15 @@ class ReconstructionPipeline:
             if pend is not None:
                 if force:
                     pend.pop("defer_ok", None)
-                out = self.volume.gc_consume(pend)
+                with STOPWATCH.time("gcc_probe"):
+                    out = self.volume.gc_consume(pend)
                 if isinstance(out, dict):
                     self._gc_pending = out   # probe still in flight
                 elif len(out):
-                    self.mesher.drop(out)
-            self.volume.flush_observations(ready_only=not force)
+                    with STOPWATCH.time("gcc_drop"):
+                        self.mesher.drop(out)
+            with STOPWATCH.time("gcc_flush"):
+                self.volume.flush_observations(ready_only=not force)
 
     def fusion_cycle(self, finished_slot: int) -> None:
         """One map-thread cycle (ref: MobileFusion.cpp:274-406 tsdfFusion).
@@ -444,6 +468,23 @@ class ReconstructionPipeline:
             if self.slam.keyframes[finished_slot].origin_index == 0:
                 # only origin-0 frames are fused (ref: MobileFusion.cpp:245)
                 pre = self._disco_prefetch.pop(finished_slot, None)
+                if pre is not None:
+                    pre, disco_pose = pre
+                    # the prefetch ran at promotion time with the then-
+                    # current pose; a BA correction since then can shift
+                    # the truncation-band chunk set. Re-validate with the
+                    # same translation + far-plane-sweep metric the drift
+                    # reuse guard uses; beyond a quarter chunk extent the
+                    # trusted set may miss band chunks → fresh discovery.
+                    pose_now = self.slam.keyframe_pose(finished_slot)
+                    delta = float(np.linalg.norm(pose_now[:3, 3]
+                                                 - disco_pose[:3, 3]))
+                    cosang = (np.trace(pose_now[:3, :3].T
+                                       @ disco_pose[:3, :3]) - 1) / 2
+                    ang = float(np.arccos(np.clip(cosang, -1.0, 1.0)))
+                    if (delta + ang * self.intr.far * 0.5
+                            > 0.25 * self.volume.extent):
+                        pre = None
                 with STOPWATCH.time("integration"):
                     self._integrate_keyframe(st, sign=1.0, prefetched=pre)
         with STOPWATCH.time("meshing"):

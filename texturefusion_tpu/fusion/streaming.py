@@ -53,10 +53,11 @@ class ChunkStreamer:
         w = np.asarray(vol.batch.weight[idx])
         col = np.asarray(vol.batch.color[idx])
         cnt = np.asarray(vol.batch.color_count[idx])
+        vol.flush_observations()   # offloaded rows carry final entries
         for row, s in enumerate(victims.tolist()):
             cid = tuple(vol.ids[s])
             self.cold[cid] = (sdf[row], w[row], col[row], cnt[row],
-                              dict(vol.observations.get(s, {})))
+                              vol.obs_row(s))
         vol.release(victims)
         return len(victims)
 
@@ -88,7 +89,7 @@ class ChunkStreamer:
         )
         kept = [h for h, k in zip(hits, ok) if k]
         for s, h, r in zip(slots[ok].tolist(), kept, rows):
-            vol.observations[int(s)] = dict(r[4])
+            vol.set_obs_row(int(s), r[4])
             vol.dirty_mesh.add(int(s))
             del self.cold[h]
         return int(ok.sum())

@@ -124,8 +124,11 @@ def frame_step_tracked2(packed_or_depth, rgb, kp_ref, kp_prev,
     has no f2f fallback — ours chains through it to survive wide
     baselines, VERDICT r1 §4 'frame-to-frame fallback chaining'.)
 
-    Returns (bundle, kp, res_kf, res_ff, stats2, fused_depth, fused_w)
-    where stats2 = [2, 21] (row 0 = vs keyframe, row 1 = vs prev frame).
+    Returns (bundle, kp, res_kf, res_ff, fetchvec, fused_depth, fused_w)
+    where fetchvec = [43] flat: stats vs keyframe (21) ‖ stats vs prev
+    frame (21) ‖ blur score (1) — ONE fetch carries every per-frame
+    decision scalar including the blur gate (a separate lazy blur fetch
+    cost a full ~100 ms RTT+queue at every keyframe promotion).
     """
     from texturefusion_tpu.slam.features import extract_features
     from texturefusion_tpu.slam.matching import register_frames
@@ -146,7 +149,8 @@ def frame_step_tracked2(packed_or_depth, rgb, kp_ref, kp_prev,
                                         tcfg.ransac_iterations // 4, 64),
                                     use_fine_search=False)
     res_ff = register_frames(kp_prev, kp, k2, tcfg_lite, intr)
-    stats2 = jnp.stack([res_kf.stats, res_ff.stats])
+    stats2 = jnp.concatenate([res_kf.stats, res_ff.stats,
+                              bundle[4].reshape(1)])
     fused, w = preprocess.fuse_depth_into_keyframe(
         kf_depth, kf_weight, depth_refined, res_kf.pose, intr)
     ok = res_kf.success

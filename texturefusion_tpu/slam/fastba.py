@@ -92,6 +92,39 @@ def append_edge(edges: EdgeSums, e: jnp.ndarray, kf_i: int, kf_j: int,
     )
 
 
+@functools.partial(jax.jit, donate_argnames=("edges", "midx_store",
+                                             "minl_store"))
+def append_probe_edges(edges: EdgeSums, midx_store: jnp.ndarray,
+                       minl_store: jnp.ndarray, e0: jnp.ndarray,
+                       cand_slots: jnp.ndarray, kf_j: jnp.ndarray,
+                       s_w, s_p, s_q, s_pp, s_qq, s_pq,
+                       midx: jnp.ndarray, minl: jnp.ndarray,
+                       take: jnp.ndarray):
+    """Append every taken promotion-probe candidate as an edge in ONE
+    dispatch (the per-candidate eager-slice + append_edge loop cost
+    ~10 ms of host dispatch per keyframe). Candidate c (take[c]) lands
+    in edge slot e0 + (#taken before c); untaken rows scatter out of
+    bounds and are dropped. Also stores the raw matches for finalBA's
+    Huber re-weighting. Returns (edges, midx_store, minl_store)."""
+    e_cap = edges.kf_i.shape[0]
+    t = take.astype(jnp.int32)
+    slot = e0 + jnp.cumsum(t) - t
+    slot = jnp.where(take & (slot < e_cap), slot, e_cap)    # OOB → dropped
+    new_edges = EdgeSums(
+        kf_i=edges.kf_i.at[slot].set(cand_slots),
+        kf_j=edges.kf_j.at[slot].set(kf_j),
+        s_w=edges.s_w.at[slot].set(s_w),
+        s_p=edges.s_p.at[slot].set(s_p),
+        s_q=edges.s_q.at[slot].set(s_q),
+        s_pp=edges.s_pp.at[slot].set(s_pp),
+        s_qq=edges.s_qq.at[slot].set(s_qq),
+        s_pq=edges.s_pq.at[slot].set(s_pq),
+        valid=edges.valid.at[slot].set(True),
+    )
+    return (new_edges, midx_store.at[slot].set(midx),
+            minl_store.at[slot].set(minl))
+
+
 def make_edges(capacity: int) -> EdgeSums:
     # NOTE: every field gets its own buffer — append_edge donates the
     # whole structure, and aliased zero arrays would be donated twice

@@ -100,6 +100,10 @@ class GCSLAM:
         # deferred promotion: the probe dispatched at keyframe adoption,
         # consumed (edges + pose correction + BA) one frame later
         self._pending_promote: Optional[dict] = None
+        # retroactive stale-frame refinement: frames finalized via the
+        # stale-reference path re-register against their ADOPTED keyframe
+        # asynchronously (results adopted when they land)
+        self._pending_refine: List[dict] = []
         self._key = jax.random.PRNGKey(42)
         # base for device-side per-frame key derivation (fold_in) — the
         # fused frame step needs no host-side split per frame
@@ -159,6 +163,7 @@ class GCSLAM:
         return np.asarray(kf_pose @ f.rel_to_keyframe)
 
     def trajectory(self) -> np.ndarray:
+        self.consume_pending_refine(force=True)
         return np.stack([self.frame_pose(i) for i in range(len(self.frames))])
 
     # ------------------------------------------------------------ edges
@@ -212,8 +217,10 @@ class GCSLAM:
         n_kf = len(self.keyframes)
         if n_kf < 2 or self.n_edges < 1:
             return
+        from texturefusion_tpu.utils.stopwatch import STOPWATCH as _SW
         bucket = _next_bucket(n_kf)
-        poses = jnp.asarray(self.poses[:bucket])
+        with _SW.time("t_ba_possync"):
+            poses = jnp.asarray(self.poses[:bucket])
         active = jnp.asarray(np.arange(bucket) < n_kf)
         # edge slice in a static-size bucket
         e_bucket = _next_bucket(self.n_edges, lo=16)
@@ -298,8 +305,9 @@ class GCSLAM:
             # (ref contrast: GCSLAM.cpp:52-185 blocks the tracking thread)
             self._promote_dispatch(frame, kp, tracked_stats)
             return
+        probe = None
         if self.origin_count == 1 and len(self.db) > 0:
-            results = self._probe_candidates(kp, tracked_stats)
+            results, probe = self._probe_candidates(kp, tracked_stats)
         else:
             results = self._legacy_candidates(kp, tracked, tracked_stats,
                                               last_slot)
@@ -341,14 +349,17 @@ class GCSLAM:
         frame.tracking_success = True
         kf = self._promote_keyframe(frame, kp, pose_world.astype(np.float32))
 
-        for kf_c, _stats, sums, matches in results:
-            if self.n_edges < self.config.ba.max_edges:
-                self.edges = fastba.append_edge(
-                    self.edges, jnp.int32(self.n_edges), kf_c.slot, kf.slot,
-                    *sums)
-                if matches is not None:
-                    self._store_edge_matches(self.n_edges, *matches)
-                self.n_edges += 1
+        if probe is not None:
+            self._append_probe_edges(probe, [r[2] for r in results], kf.slot)
+        else:
+            for kf_c, _stats, sums, matches in results:
+                if self.n_edges < self.config.ba.max_edges:
+                    self.edges = fastba.append_edge(
+                        self.edges, jnp.int32(self.n_edges), kf_c.slot,
+                        kf.slot, *sums)
+                    if matches is not None:
+                        self._store_edge_matches(self.n_edges, *matches)
+                    self.n_edges += 1
         kf.reg_success_count = len(results)
 
         # map-origin merging (ref: GCSLAM.cpp:187-254 updateMapOrigin):
@@ -356,7 +367,7 @@ class GCSLAM:
         # those origins — re-anchor the younger origin onto the adopted one
         adopted = kf.origin_index
         pose_new = self.poses[kf.slot]
-        for kf_c, _stats, _sums, _matches in results:
+        for kf_c, _stats, *_rest in results:
             o = kf_c.origin_index
             if o == adopted:
                 continue
@@ -405,7 +416,9 @@ class GCSLAM:
         return probe, n_cand, fetch_async(probe.fetch)
 
     def _probe_results(self, probe, n_cand: int, fetched: np.ndarray):
-        """Probe fetch → [(KeyframeRecord, stats[21] np, sums, matches)]."""
+        """Probe fetch → [(KeyframeRecord, stats[21] np, candidate row)].
+        LAZY: no device slicing here — edge insertion consumes the probe's
+        stacked sums in one batched dispatch (_append_probe_edges)."""
         import os
         if os.environ.get("TF_DEBUG_LC"):
             print(f"[LC] kf={len(self.keyframes)} cands="
@@ -419,12 +432,29 @@ class GCSLAM:
             if fetched[i, 1] < 0.5 or slot in seen:
                 continue
             seen.add(slot)
-            sums = tuple(jax.tree.map(lambda a, i=i: a[i],
-                                      (probe.s_w, probe.s_p, probe.s_q,
-                                       probe.s_pp, probe.s_qq, probe.s_pq)))
-            results.append((self.keyframes[slot], fetched[i, 2:23], sums,
-                            (probe.midx[i], probe.minl[i])))
+            results.append((self.keyframes[slot], fetched[i, 2:23], i))
         return results
+
+    def _append_probe_edges(self, probe, rows: List[int],
+                            kf_slot: int) -> int:
+        """Append the taken probe candidates as edges + raw-match rows in
+        ONE compiled dispatch. Returns the number appended."""
+        space = self.config.ba.max_edges - self.n_edges
+        rows = rows[:space]
+        if not rows:
+            return 0
+        take = np.zeros(probe.cand_slots.shape[0], bool)
+        take[rows] = True
+        self.edges, self._edge_midx, self._edge_minl = \
+            fastba.append_probe_edges(
+                self.edges, self._edge_midx, self._edge_minl,
+                jnp.int32(self.n_edges), probe.cand_slots,
+                jnp.int32(kf_slot), probe.s_w, probe.s_p, probe.s_q,
+                probe.s_pp, probe.s_qq, probe.s_pq,
+                probe.midx, probe.minl, jnp.asarray(take))
+        self._edge_has[self.n_edges: self.n_edges + len(rows)] = True
+        self.n_edges += len(rows)
+        return len(rows)
 
     def _promote_dispatch(self, frame: FrameRecord, kp: Keypoints,
                           tracked_stats: np.ndarray) -> None:
@@ -471,12 +501,20 @@ class GCSLAM:
         results = self._probe_results(pend["probe"], pend["n_cand"], fetched)
         kf = self.keyframes[pend["kf_slot"]]
         if not results:
-            # candidate 0 carries the tracked stats so this is rare
-            # (borderline re-registration): keep the provisional pose,
-            # tie the keyframe in with an odometry-prior edge
-            self._add_virtual_edge(pend["last_slot"], kf.slot, pend["rel"])
-            self._db_add(kf.slot, self.frames[kf.frame_index].keypoints)
-            self._run_ba()
+            # candidate 0 carries the tracked stats validated at dispatch
+            # time, so an empty result set means even the tracked
+            # registration failed re-validation — mirror the sync path's
+            # new-origin fallback (ref: GCSLAM.cpp:149-161) instead of
+            # permanently tying a bad registration into the graph. The
+            # consume runs within ≲3 frames, before the fusion cycle for
+            # this keyframe fires, so the origin flip also blocks fusion
+            # (only origin-0 keyframes fuse, ref: MobileFusion.cpp:245).
+            self.origin_count += 1
+            kf.origin_index = self.origin_count - 1
+            fr = self.frames[kf.frame_index]
+            fr.origin_index = kf.origin_index
+            fr.tracking_success = False
+            self._db_add(kf.slot, fr.keypoints)
             return
         # pose from the minimum-disparity successful match
         # (ref: GCSLAM.cpp:124-147); deferred path is single-origin
@@ -484,14 +522,8 @@ class GCSLAM:
         if best[0].slot != pend["last_slot"]:
             pose_world = self.poses[best[0].slot] @ best[1][5:21].reshape(4, 4)
             self.poses[kf.slot] = pose_world.astype(np.float32)
-        for kf_c, _stats, sums, matches in results:
-            if self.n_edges < self.config.ba.max_edges:
-                self.edges = fastba.append_edge(
-                    self.edges, jnp.int32(self.n_edges), kf_c.slot, kf.slot,
-                    *sums)
-                if matches is not None:
-                    self._store_edge_matches(self.n_edges, *matches)
-                self.n_edges += 1
+        self._append_probe_edges(pend["probe"], [r[2] for r in results],
+                                 kf.slot)
         kf.reg_success_count = len(results)
         if len(results) < 4:   # ref: GCSLAM.cpp:171-177 DB insertion gate
             self._db_add(kf.slot, self.frames[kf.frame_index].keypoints)
@@ -501,11 +533,11 @@ class GCSLAM:
                           tracked_stats: Optional[np.ndarray]):
         """Single-dispatch candidate selection + registration + edge
         pre-integration (slam/promote.py). Returns
-        [(KeyframeRecord, stats[21] np, sums device-tuple)]."""
+        ([(KeyframeRecord, stats[21] np, row)], probe)."""
         probe, n_cand, handle = self._dispatch_probe(kp, tracked_stats)
         from texturefusion_tpu.utils.async_fetch import resolve
         fetched = np.asarray(resolve(handle)).reshape(n_cand, 25)
-        return self._probe_results(probe, n_cand, fetched)
+        return self._probe_results(probe, n_cand, fetched), probe
 
     def _legacy_candidates(self, kp: Keypoints,
                            tracked: Optional[TwoViewResult],
@@ -531,9 +563,9 @@ class GCSLAM:
                     seen_origins.add(other.origin_index)
                     if other.slot not in cand_slots:
                         cand_slots.append(other.slot)
-        cand_slots = cand_slots[: max(self.cfg.max_candidates,
-                                      len(cand_slots))]
-
+        # bounded by construction: ≤ 1 + max_candidates + (origins − 1)
+        # (select_candidates caps its rows; extra-origin probes are few
+        # and deliberate — they let disconnected maps re-merge)
         results = []
         to_register = []
         for slot in cand_slots:
@@ -600,7 +632,10 @@ class GCSLAM:
         pipelined tracker dispatches one frame ahead of decisions), the
         relative pose is re-anchored by host-side composition instead of
         a re-registration dispatch."""
-        self.consume_pending_promote(force=False)  # deferred probe
+        from texturefusion_tpu.utils.stopwatch import STOPWATCH as _SW
+        with _SW.time("t_u_pp"):
+            self.consume_pending_promote(force=False)  # deferred probe
+            self.consume_pending_refine()              # stale-frame fixes
         frame = FrameRecord(index=len(self.frames), timestamp=timestamp,
                             blurred=False)
         self.frames.append(frame)
@@ -771,6 +806,14 @@ class GCSLAM:
             frame.rel_to_keyframe = rel_new.astype(np.float32)
             last_kf.local_frames.append(frame.index)
             self.fail_count = 0
+            # the composed pose chains two wide-baseline registrations;
+            # re-register DIRECTLY against the adopted keyframe (small
+            # baseline) off the critical path and adopt the result when
+            # it lands — restores unpipelined tracking accuracy at
+            # pipeline_depth ≥ 2 without blocking (no reference analog:
+            # its tracking thread never runs ahead of its decisions)
+            if self.cfg.refine_stale:
+                self._dispatch_refine(frame, kp, last_kf)
         else:
             self.fail_count += 1
             frame.tracking_success = False
@@ -782,6 +825,47 @@ class GCSLAM:
                 frame.rel_to_keyframe = np.eye(4, dtype=np.float32)
         self._prev_kp = kp
         return frame
+
+    def _dispatch_refine(self, frame: FrameRecord, kp,
+                         last_kf: KeyframeRecord) -> None:
+        """Launch an async re-registration of a stale-finalized frame
+        against its adopted keyframe (lite settings: the baseline is a
+        keyframe interval, far smaller than RANSAC needs for the fresh
+        wide-baseline case)."""
+        import dataclasses as _dc
+        kp_ref = self.frames[self.keyframes[last_kf.slot].frame_index].keypoints
+        cfg_lite = _dc.replace(
+            self.cfg,
+            ransac_iterations=max(self.cfg.ransac_iterations // 4, 64),
+            use_fine_search=False)
+        res = register_frames(kp_ref, kp, self._split_key(), cfg_lite,
+                              self.intr)
+        from texturefusion_tpu.utils.async_fetch import fetch_async
+        self._pending_refine.append({
+            "frame": frame.index, "kf_slot": last_kf.slot,
+            "fetch": fetch_async(res.stats)})
+
+    def consume_pending_refine(self, force: bool = False) -> None:
+        """Adopt landed stale-frame re-registrations: replace the
+        composed relative pose with the direct one (better-conditioned).
+        Failed refinements keep the composed pose. Non-blocking unless
+        force=True."""
+        if not self._pending_refine:
+            return
+        keep = []
+        from texturefusion_tpu.utils.async_fetch import resolve
+        for p in self._pending_refine:
+            if not force and not p["fetch"].done():
+                keep.append(p)
+                continue
+            st = np.asarray(resolve(p["fetch"]))
+            f = self.frames[p["frame"]]
+            if (st[0] > 0.5 and not f.is_keyframe
+                    and f.keyframe_slot == p["kf_slot"]):
+                f.rel_to_keyframe = st[5:21].reshape(4, 4).astype(
+                    np.float32).copy()
+                f.rel_pose_dev = None
+        self._pending_refine = keep
 
     def _store_icp_reference(self, depth) -> None:
         if self.cfg.use_icp:
@@ -796,6 +880,7 @@ class GCSLAM:
         last Gauss-Newton — weights frozen at registration time overvalue
         correspondences that later turned out inconsistent."""
         self.consume_pending_promote()
+        self.consume_pending_refine(force=True)
         if self.n_edges > 0 and self._edge_has[: self.n_edges].any():
             self._sync_poses()
             e_bucket = _next_bucket(self.n_edges, lo=16)

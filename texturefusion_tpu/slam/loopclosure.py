@@ -46,6 +46,8 @@ class KeyframeDescriptorDB:
         if k >= self.max_kf:
             return
         n = desc.shape[0]
+        if n == 0:      # degenerate keyframe with zero descriptor rows
+            return
         rng = np.random.default_rng(seed + kf_id)
         order = rng.permutation(max(n, self.sub)) % n   # host perm, no fetch
         self.desc, self.valid = _db_insert_row(

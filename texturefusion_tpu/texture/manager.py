@@ -99,19 +99,18 @@ class TextureManager:
             self._carry |= set(remeshed or ())
             return
         with STOPWATCH.time("tex_adjacency"):
-            adjacency = mesher.chunk_adjacency()
-        if not adjacency:
+            meshed, nbr = mesher.chunk_adjacency_arrays()
+        if len(meshed) == 0:
             return
         self._ensure_state(mesher)
         with STOPWATCH.time("tex_build"):
-            # async cycles read the UNFLUSHED observation dict — flushing
-            # would sync on copies still queued behind this cycle's
-            # integrations; the newest keyframe's entries land next cycle
-            # (staleness contract documented on observations_unflushed)
-            obs = (volume.observations if flush_obs
-                   else volume.observations_unflushed)
-            problem, slots, label_kf_np = self.selector.build_problem(
-                obs, adjacency, volume.ids, newest_kf)
+            # async cycles read the UNFLUSHED observation arrays —
+            # flushing would sync on copies still queued behind this
+            # cycle's integrations; the newest keyframe's entries land
+            # next cycle (staleness contract on obs_arrays)
+            obs_q, obs_mask = volume.obs_arrays(flush=flush_obs)
+            problem, slots, label_kf_np = self.selector.build_problem_arrays(
+                obs_q, obs_mask, meshed, nbr, volume.ids, newest_kf)
             if problem is None:
                 return
             n = problem.unary.shape[0]
@@ -124,8 +123,10 @@ class TextureManager:
                 self.add_keyframe_images(kf, st.rgb, st.depth, st.pose)
                 self.kf_stack.set_pose(kf, st.pose)
             want = (remeshed or set()) | self._carry
-            rmask = np.asarray([s in want for s in slots] + [False]
-                               * (n - len(slots)), bool)
+            rmask = np.zeros(n, bool)
+            if want:
+                rmask[: len(slots)] = np.isin(
+                    slots, np.fromiter(want, np.int64, len(want)))
             fallback_kf = max(newest_kf - 1, 0)
 
         with STOPWATCH.time("tex_device"):
@@ -139,11 +140,14 @@ class TextureManager:
                     jnp.asarray(self.kf_stack.poses),
                     jnp.int32(fallback_kf), self.intr, self.cfg,
                     self.cfg.mrf_sweeps, self.cfg.patch_project_budget)
+        with STOPWATCH.time("tex_startcopy"):
             from texturefusion_tpu.utils.async_fetch import fetch_async
-            out = fetch_async(tuple(out))
+            # background: ~0.5 MB payload — done() must mean LANDED or
+            # the deferred consume stalls ~60 ms on the tail of the copy
+            out = fetch_async(tuple(out), background=True)
         self._pending_cycle = {
             "out": out, "slots": slots, "want": want,
-            "adjacency_slots": set(adjacency), "volume": volume,
+            "adjacency_slots": set(slots.tolist()), "volume": volume,
             "mesher": mesher, "kf_states": dict(kf_states)}
 
     def update_consume(self, force: bool = True) -> None:
@@ -174,17 +178,15 @@ class TextureManager:
                 r = int(rows[i])
                 if r >= len(slots):
                     continue
-                s = slots[r]
+                s = int(slots[r])
                 kf = int(proj_kf[i])
                 projected.add(s)
                 tex = self.chunk_tex.setdefault(s, ChunkTexture())
                 if wrong[i] or kf not in kf_states:
                     if wrong[i] and kf >= 0:
-                        obs = volume.observations.get(s)
-                        if obs is not None and kf in obs:
-                            # poison so the MRF re-selects next cycle
-                            # (ref: MobileFusion.cpp:330-343)
-                            obs[kf] = -1e11
+                        # poison so the MRF re-selects next cycle
+                        # (ref: MobileFusion.cpp:330-343)
+                        volume.poison_observation(s, kf)
                     tex.wrong = True
                     continue
                 rec = self.atlas.patches.get(s)

@@ -77,10 +77,10 @@ def mrf_energy(problem: MRFProblem, labels: jnp.ndarray,
     kf_pad = jnp.concatenate([my_kf, jnp.asarray([-2], jnp.int32)])
     nbr_kf = kf_pad[problem.neighbors]                           # [N, 6]
     nbr_real = (problem.neighbors < n) & problem.n_valid[:, None]
+    # each undirected edge appears twice in the neighbor lists → ×0.5
     pair = jnp.sum((nbr_kf != my_kf[:, None]) & nbr_real) \
-        * (potts_weight * edge_weight) * 0.5 * 2.0
-    # each undirected edge counted twice in the neighbor lists → ×0.5·2 = 1
-    return jnp.sum(u) + pair * 0.5
+        * (potts_weight * edge_weight) * 0.5
+    return jnp.sum(u) + pair
 
 
 class ViewSelector:
@@ -93,79 +93,130 @@ class ViewSelector:
         self.potts = potts_weight
         self.edge_w = edge_weight
         self.sweeps = sweeps
-        self.labels: dict = {}     # slot -> chosen keyframe id (persistent)
+        # slot -> chosen keyframe id, −1 = none yet (persistent warm
+        # start, ref: TexMap labelstorage). A dense array: the MRF
+        # assembly reads/writes it with vectorized gathers.
+        self.labels = np.full(0, -1, np.int32)
 
-    def build_problem(self, observations: dict, adjacency: dict,
-                      chunk_ids: np.ndarray, newest_kf: int):
-        """Host-side MRF assembly shared by select() and the fused
-        texture-cycle program. Returns (problem, slots, label_kf_np)."""
-        slots = sorted(adjacency.keys())
-        if not slots:
-            return None, [], None
+    def ensure_capacity(self, n_slots: int) -> None:
+        if len(self.labels) < n_slots:
+            new = np.full(n_slots, -1, np.int32)
+            new[: len(self.labels)] = self.labels
+            self.labels = new
+
+    def build_problem_arrays(self, obs_q: np.ndarray, obs_mask: np.ndarray,
+                             meshed: np.ndarray, nbr_slots: np.ndarray,
+                             chunk_ids: np.ndarray, newest_kf: int):
+        """Vectorized host-side MRF assembly from the dense observation
+        arrays + adjacency matrix (mesher.chunk_adjacency_arrays).
+        Returns (problem, slots [S] np.int64, label_kf [n, L] np).
+        Replaces a per-chunk Python loop that burned ~25 ms of GIL per
+        cycle at a few thousand chunks."""
+        if len(meshed) == 0:
+            return None, meshed, None
+        self.ensure_capacity(len(chunk_ids) + 1)
+        sl = np.asarray(meshed, np.int64)
+        n_real = len(sl)
         # pad node count to a bucket so the jitted solver compiles once
         # per size class, not per call
-        n_real = len(slots)
         n = 64
         while n < n_real:
             n *= 2
-        row_of = {s: i for i, s in enumerate(slots)}
         l = self.max_labels
+
+        q = np.where(obs_mask[sl] & (obs_q[sl] > 0), obs_q[sl],
+                     -np.inf)                                   # [S, K]
+        k_total = q.shape[1]
+        l_eff = min(l, k_total)
+        # top-l labels per chunk by quality (argpartition + sort of l)
+        part = np.argpartition(-q, l_eff - 1, axis=1)[:, :l_eff]
+        pq = np.take_along_axis(q, part, axis=1)
+        order = np.argsort(-pq, axis=1, kind="stable")
+        top_kf = np.take_along_axis(part, order, axis=1).astype(np.int32)
+        top_q = np.take_along_axis(pq, order, axis=1)           # [S, l_eff]
+        has = np.isfinite(top_q)
+        valid_row = has[:, 0]
 
         unary = np.full((n, l), 1e9, np.float32)
         label_kf = np.full((n, l), -1, np.int32)
-        nbrs = np.full((n, 6), n, np.int32)
-        parity = np.zeros(n, np.int32)
-        init = np.zeros(n, np.int32)
-        valid = np.zeros(n, bool)
+        qmax = np.where(valid_row, top_q[:, 0], 1.0)
+        with np.errstate(invalid="ignore"):
+            u = 1.0 - top_q / qmax[:, None]
+        unary[:n_real, :l_eff] = np.where(has, u, 1e9).astype(np.float32)
+        label_kf[:n_real, :l_eff] = np.where(has, top_kf, -1)
 
+        # chunks with no positive observation: label 0 = previous label
+        # or the second-newest keyframe (ref: TexMap.cpp:228-246)
         fallback_kf = max(newest_kf - 1, 0)
-        for i, s in enumerate(slots):
-            obs = observations.get(s, {})
-            pos = [(kf, q) for kf, q in obs.items() if q > 0]
-            pos.sort(key=lambda kq: -kq[1])
-            pos = pos[:l]
-            cid = chunk_ids[s]
-            parity[i] = int(cid.sum()) & 1
-            if not pos:
-                label_kf[i, 0] = self.labels.get(s, fallback_kf)
-                unary[i, 0] = 1.0
-                init[i] = 0
-                continue
-            valid[i] = True
-            qmax = max(q for _, q in pos)
-            for j, (kf, q) in enumerate(pos):
-                unary[i, j] = 1.0 - q / qmax
-                label_kf[i, j] = kf
-            # warm start: previous label if still in the set
-            prev = self.labels.get(s)
-            init[i] = 0
-            if prev is not None:
-                for j, (kf, _) in enumerate(pos):
-                    if kf == prev:
-                        init[i] = j
-                        break
-            for k, a in enumerate(adjacency[s][:6]):
-                nbrs[i, k] = row_of.get(int(a), n)
+        prev = self.labels[sl]                                  # [S]
+        rows_nopos = np.nonzero(~valid_row)[0]
+        lab0 = np.where(prev >= 0, prev, fallback_kf)
+        label_kf[rows_nopos, 0] = lab0[rows_nopos]
+        unary[rows_nopos, 0] = 1.0
+
+        # warm start: previous label's slot index if still in the set
+        eq = (top_kf == prev[:, None]) & has
+        init = np.zeros(n, np.int32)
+        init[:n_real] = np.where(eq.any(axis=1), eq.argmax(axis=1), 0)
+
+        parity = np.zeros(n, np.int32)
+        parity[:n_real] = chunk_ids[sl].sum(axis=1) & 1
+        valid = np.zeros(n, bool)
+        valid[:n_real] = valid_row
+
+        # neighbor slot -> node row (n = virtual no-neighbor node)
+        row_lookup = np.full(len(chunk_ids) + 1, n, np.int32)
+        row_lookup[sl] = np.arange(n_real, dtype=np.int32)
+        nbrs = np.full((n, 6), n, np.int32)
+        nbr_w = nbr_slots[:, :6]
+        nbrs[:n_real, : nbr_w.shape[1]] = np.where(
+            nbr_w >= 0, row_lookup[np.clip(nbr_w, 0, len(chunk_ids))], n)
 
         problem = MRFProblem(
             unary=jnp.asarray(unary), label_kf=jnp.asarray(label_kf),
             neighbors=jnp.asarray(nbrs), parity=jnp.asarray(parity),
             init_label=jnp.asarray(init), n_valid=jnp.asarray(valid))
-        return problem, slots, label_kf
+        return problem, sl, label_kf
+
+    def build_problem(self, observations: dict, adjacency: dict,
+                      chunk_ids: np.ndarray, newest_kf: int):
+        """Dict-input MRF assembly (tests / sync select path): converts
+        to the dense arrays and calls build_problem_arrays."""
+        slots = sorted(adjacency.keys())
+        if not slots:
+            return None, [], None
+        cap = len(chunk_ids)
+        max_kf = max((max(d) for d in observations.values() if d),
+                     default=0) + 1
+        obs_q = np.zeros((cap + 1, max_kf), np.float32)
+        obs_mask = np.zeros((cap + 1, max_kf), bool)
+        for s, d in observations.items():
+            for kf, qv in d.items():
+                obs_q[int(s), int(kf)] = qv
+                obs_mask[int(s), int(kf)] = True
+        meshed = np.asarray(slots, np.int64)
+        nbr = np.full((len(slots), 6), -1, np.int64)
+        for i, s in enumerate(slots):
+            a = np.asarray(adjacency[s], np.int64)[:6]
+            nbr[i, : len(a)] = a
+        return self.build_problem_arrays(obs_q, obs_mask, meshed, nbr,
+                                         chunk_ids, newest_kf)
 
     def adopt_solution(self, slots, label_kf: np.ndarray,
                        sol: np.ndarray, newest_kf: int) -> dict:
         """Convert solved label slots to keyframe ids + persist warm
         start (ref: TexMap labelstorage + label-0 fallback)."""
         fallback_kf = max(newest_kf - 1, 0)
-        out = {}
-        for i, s in enumerate(slots):
-            kf = int(label_kf[i, sol[i]])
-            if kf < 0:
-                kf = self.labels.get(s, fallback_kf)
-            out[s] = kf
-            self.labels[s] = kf
-        return out
+        sl = np.asarray(slots, np.int64)
+        if len(sl) == 0:
+            return {}
+        self.ensure_capacity(int(sl.max()) + 1)
+        kf = label_kf[np.arange(len(sl)), np.asarray(sol)[: len(sl)]]
+        prev = self.labels[sl]
+        kf = np.where(kf >= 0, kf,
+                      np.where(prev >= 0, prev, fallback_kf)).astype(np.int32)
+        self.labels[sl] = kf
+        return {int(s): int(k) for s, k in zip(sl.tolist(), kf.tolist())}
 
     def select(self, observations: dict, adjacency: dict, chunk_ids: np.ndarray,
                newest_kf: int) -> dict:

@@ -21,6 +21,7 @@ orchestration latency-tolerant on a remote accelerator.)
 
 from __future__ import annotations
 
+import threading
 from typing import Any
 
 import jax
@@ -29,10 +30,12 @@ import jax
 class DeviceFetch:
     """Handle for an in-flight device→host copy of a pytree."""
 
-    __slots__ = ("tree",)
+    __slots__ = ("tree", "_event", "_result")
 
-    def __init__(self, tree: Any):
+    def __init__(self, tree: Any, background: bool = False):
         self.tree = tree
+        self._event = None
+        self._result = None
         try:
             for leaf in jax.tree.leaves(tree):
                 copy = getattr(leaf, "copy_to_host_async", None)
@@ -40,15 +43,38 @@ class DeviceFetch:
                     copy()
         except Exception:
             pass  # backends without async copies fall back to plain get
+        if background:
+            # a waiter thread device_gets into the handle, so done()
+            # means LANDED (is_ready only means computed — the host copy
+            # of a large payload arrives up to one RTT + transfer later,
+            # and a consumer polling is_ready can still stall ~60 ms on
+            # resolve). One short-lived thread per fetch: no shared
+            # queue, so a slow fetch can never head-of-line block
+            # another (the round-3 executor regression).
+            self._event = threading.Event()
+            t = threading.Thread(target=self._bg_fetch, daemon=True)
+            t.start()
+
+    def _bg_fetch(self) -> None:
+        try:
+            self._result = jax.device_get(self.tree)
+        finally:
+            self._event.set()
 
     def result(self) -> Any:
+        if self._event is not None:
+            self._event.wait()
+            return self._result
         return jax.device_get(self.tree)
 
     def done(self) -> bool:
-        """True when every leaf's value is computed (the async host copy
-        is then landed or at most one link RTT away). Consumers that can
-        tolerate one more cycle of staleness use this to skip resolving
-        fetches that would stall on in-flight device work."""
+        """True when the value is available cheaply: background fetches
+        report the host copy LANDED; plain fetches report every leaf
+        computed (the copy is then landed or at most one link RTT away).
+        Consumers that can tolerate one more cycle of staleness use this
+        to skip resolving fetches that would stall."""
+        if self._event is not None:
+            return self._event.is_set()
         try:
             return all(leaf.is_ready() if hasattr(leaf, "is_ready") else True
                        for leaf in jax.tree.leaves(self.tree))
@@ -56,10 +82,12 @@ class DeviceFetch:
             return True
 
 
-def fetch_async(tree: Any) -> DeviceFetch:
+def fetch_async(tree: Any, background: bool = False) -> DeviceFetch:
     """Start the device→host copies for a pytree; returns a handle whose
-    result() is the device_get'd host pytree (near-free once landed)."""
-    return DeviceFetch(tree)
+    result() is the device_get'd host pytree (near-free once landed).
+    background=True adds a waiter thread so done() ⇒ resolve is free —
+    use for LARGE payloads consumed opportunistically."""
+    return DeviceFetch(tree, background=background)
 
 
 def resolve(maybe_future: Any) -> Any:

@@ -83,6 +83,7 @@ def save_pipeline(pipe, path: str) -> None:
                 "depth": st.depth, "rgb": st.rgb, "quality": st.quality,
                 "local_depths": st.local_depths,
                 "local_rel_poses": st.local_rel_poses,
+                "local_frame_idx": st.local_frame_idx,
                 "depth_weight": st.depth_weight,
                 "integrated_pose": st.integrated_pose,
                 "integrated": st.integrated}

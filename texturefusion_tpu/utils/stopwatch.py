@@ -20,15 +20,20 @@ class Stopwatch:
     def __init__(self):
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
+        # per-thread CPU time alongside wall time: separates host compute
+        # (GIL-holding Python/numpy) from link/device waits in the report
+        self.totals_cpu: Dict[str, float] = defaultdict(float)
 
     @contextlib.contextmanager
     def time(self, name: str):
         t0 = time.perf_counter()
+        c0 = time.thread_time()
         try:
             yield
         finally:
             dt = time.perf_counter() - t0
             self.totals[name] += dt
+            self.totals_cpu[name] += time.thread_time() - c0
             self.counts[name] += 1
 
     def tick(self, name: str) -> None:
@@ -45,12 +50,16 @@ class Stopwatch:
                 for k in self.totals if not k.startswith("_tick_")}
 
     def report(self) -> str:
-        lines = [f"{k:>16s}: {v:8.2f} ms avg ({self.counts[k]}x)"
-                 for k, v in sorted(self.averages_ms().items())]
+        lines = []
+        for k, v in sorted(self.averages_ms().items()):
+            cpu = 1000.0 * self.totals_cpu.get(k, 0.0) / max(self.counts[k], 1)
+            lines.append(f"{k:>16s}: {v:8.2f} ms avg "
+                         f"(cpu {cpu:7.2f}) ({self.counts[k]}x)")
         return "\n".join(lines)
 
     def reset(self) -> None:
         self.totals.clear()
+        self.totals_cpu.clear()
         self.counts.clear()
 
 
