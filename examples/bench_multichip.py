@@ -92,6 +92,95 @@ def bench_distributed_ba(n_devices, n_kf=64, n_edges=512, n_iters=10):
     return n_iters * cfg.gn_iterations_per_round / dt
 
 
+def _synthetic_pose_graph(n_kf, max_edges=4096, window=7, seed=2):
+    """Loop-shaped pose graph: each keyframe links to its `window`
+    predecessors (local co-visibility) plus n_kf/4 long-range loop
+    closures — the structure the live pipeline produces, which is what
+    makes contiguous keyframe blocks mostly interior for the Schur
+    partition (ref graph shape: GCSLAM.cpp:52-185 edges per keyframe)."""
+    from texturefusion_tpu.slam import fastba
+    rng = np.random.default_rng(seed)
+    ki, kj = [], []
+    for d in range(1, window + 1):
+        i = np.arange(d, n_kf)
+        ki.append(i - d)
+        kj.append(i)
+    n_loops = n_kf // 4
+    a = rng.integers(0, n_kf // 2, n_loops)
+    b = rng.integers(n_kf // 2, n_kf, n_loops)
+    ki.append(a)
+    kj.append(b)
+    ki = np.concatenate(ki)[:max_edges]
+    kj = np.concatenate(kj)[:max_edges]
+    n_e = len(ki)
+    e_bucket = 16
+    while e_bucket < n_e:
+        e_bucket *= 2
+    edges = fastba.make_edges(e_bucket)
+    pts = rng.uniform(-1, 1, (64, 3)).astype(np.float32)
+    pts[:, 2] += 2.0
+    s = fastba.preintegrate_edge(jnp.asarray(pts), jnp.asarray(pts),
+                                 jnp.ones(64))
+    pad = e_bucket - n_e
+    edges = edges._replace(
+        kf_i=jnp.asarray(np.concatenate([ki, np.zeros(pad)]), jnp.int32),
+        kf_j=jnp.asarray(np.concatenate([kj, np.zeros(pad)]), jnp.int32),
+        s_w=jnp.full(e_bucket, 64.0),
+        s_p=jnp.tile(s[1], (e_bucket, 1)),
+        s_q=jnp.tile(s[2], (e_bucket, 1)),
+        s_pp=jnp.tile(s[3], (e_bucket, 1, 1)),
+        s_qq=jnp.tile(s[4], (e_bucket, 1, 1)),
+        s_pq=jnp.tile(s[5], (e_bucket, 1, 1)),
+        valid=jnp.asarray(np.arange(e_bucket) < n_e))
+    return edges, n_e
+
+
+def bench_ba_scale(n_devices, ks=(64, 128, 256, 512), n_iters=3,
+                   sep_budget=128):
+    """Dense vs Schur GN ms/iteration across keyframe counts at the
+    configured capacity limits (BAConfig max_keyframes=512,
+    max_edges=4096) — measures the Schur crossover K (VERDICT r4 #4).
+    Returns a list of row dicts."""
+    from texturefusion_tpu.config import BAConfig
+    from texturefusion_tpu.parallel import ba as pba
+    from texturefusion_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_devices)
+    cfg = BAConfig(gn_iterations_per_round=1)
+    rows = []
+    for k in ks:
+        edges, n_e = _synthetic_pose_graph(k)
+        edges = pba.shard_edges(pba.pad_edges_for_mesh(edges, mesh.size),
+                                mesh)
+        poses = jnp.tile(jnp.eye(4), (k, 1, 1))
+        active = jnp.ones(k, bool)
+        row = {"K": k, "E": n_e, "n_dev": n_devices}
+
+        def run_dense():
+            return pba.distributed_gn(poses, edges, k, active, cfg, mesh)
+
+        def run_schur():
+            return pba.schur_gn(poses, edges, k, active, cfg, mesh,
+                                sep_budget=sep_budget)
+
+        for name, fn in (("dense", run_dense), ("schur", run_schur)):
+            try:
+                out = fn()
+                jax.block_until_ready(out[0])
+                t0 = time.perf_counter()
+                for _ in range(n_iters):
+                    out = fn()
+                jax.block_until_ready(out[0])
+                row[f"{name}_ms_per_gn_iter"] = round(
+                    (time.perf_counter() - t0) * 1e3
+                    / (n_iters * cfg.gn_iterations_per_round), 2)
+            except Exception as e:   # noqa: BLE001 — report, keep going
+                row[f"{name}_error"] = repr(e)
+        rows.append(row)
+        print("ba_scale:", row)
+    return rows
+
+
 def bench_full_step(n_devices, cap=512, n_iters=10):
     """The complete multi-chip map cycle (discovery + sharded integrate +
     meshing + datacost + MRF + distributed BA) — steps/s."""

@@ -1,11 +1,23 @@
-"""Pallas TSDF voxel-update kernel: the hot integrate/de-integrate path.
+"""Pallas TSDF voxel-update kernel — DEMOTED case study, not a
+production path (VERDICT r4 #6).
 
 Hand-written TPU kernel with the same semantics as the XLA formulation in
-ops/tsdf.py:integrate_chunks (which remains the cross-backend fallback and
-the bit-parity test oracle) — both re-designs of open_chisel's AVX2 kernel
+ops/tsdf.py:integrate_chunks (the production kernel and the bit-parity
+test oracle) — both re-designs of open_chisel's AVX2 kernel
 (ref: 3rd_party/open_chisel/utils/ProjectionIntegrator.cpp:67-426
 voxelUpdateSIMD; signed-weight de-integration :94-99; color saturation
 :201-305; partial-observation quality veto :212-238).
+
+WHY DEMOTED (SOL_REPORT.json): the voxel update's hot operation is an
+arbitrary 2D image gather per voxel. Mosaic's `dynamic_gather` is
+vreg-local (≤8×128 source), so this kernel samples via one-hot MXU
+products — ~160× the useful FLOPs — and measures 1.332 ms/integrate vs
+the XLA path's 0.383 ms (both far from the 0.025 ms HBM roofline, which
+neither formulation can reach while the sample pattern is
+data-dependent). XLA's native gather fusion simply wins on TPU for this
+access pattern. The kernel stays here, bit-parity-tested
+(tests/test_pallas_voxel.py), as the documented negative result and as
+scaffolding if Mosaic ever grows a wide dynamic gather.
 
 Kernel design (VMEM-resident, one HBM row read+write per touched chunk):
   * grid = one step per chunk slot; the slot list arrives as a

@@ -107,10 +107,13 @@ def main():
     batch = out[0]
     report("integrate_frame_fused", t, row_bytes + img_bytes + gather_bytes)
 
-    # ---- Pallas voxel kernel (in-place rows, VMEM image)
+    # ---- Pallas voxel kernel (DEMOTED case study — loses to XLA's
+    # gather fusion; kept in the report so the negative result stays
+    # measured, see examples/pallas_voxel_kernel.py)
     if jax.default_backend() in ("tpu", "axon"):
+        from pallas_voxel_kernel import integrate_rows_pallas
+
         from texturefusion_tpu.core import se3
-        from texturefusion_tpu.ops.pallas_voxel import integrate_rows_pallas
         img = jnp.stack([depth, rgb[..., 0] * 255.0, rgb[..., 1] * 255.0,
                          rgb[..., 2] * 255.0, quality])
         w2c = se3.inverse(pose).reshape(-1)
@@ -122,7 +125,7 @@ def main():
                 b.sdf, b.weight, b.color, b.color_count, origins[idx],
                 idx, active.astype(jnp.int32), img, w2c,
                 jnp.asarray([1.0], jnp.float32), intr, cfg,
-                with_color=True, win=cfg.pallas_window)
+                with_color=True, win=256)
             state[0] = tsdf_ops.ChunkBatch(sdf, w, col, cc)
             return q
 
@@ -236,6 +239,10 @@ def main():
             bm.bench_sharded_tsdf(1, 4096, n_iters=10), 2)
         scaling["1chip_distributed_ba_gn_iters_s"] = round(
             bm.bench_distributed_ba(1, n_iters=5), 1)
+        # BA at the configured capacity limits: dense vs Schur crossover
+        # (VERDICT r4 #4; ref: optimizeKeyFrameMapRobust's sparse LDLT,
+        # MultiViewGeometry.cpp:1067-1098)
+        scaling["1chip_ba_scale"] = bm.bench_ba_scale(1)
         print("1-chip scaling rows:", scaling)
     except Exception as e:
         scaling["error"] = repr(e)
@@ -254,8 +261,10 @@ def main():
             "f8=bm.bench_sharded_tsdf(8, 1024, n_iters=5);"
             "b1=bm.bench_distributed_ba(1, n_iters=3);"
             "b8=bm.bench_distributed_ba(8, n_iters=3);"
+            "sc=bm.bench_ba_scale(8, ks=(256, 512), n_iters=2);"
             "import json; print('SCALING', json.dumps("
-            "{'tsdf_eff_8dev': f8/(f1), 'ba_eff_8dev': b8/(b1)}))"
+            "{'tsdf_eff_8dev': f8/(f1), 'ba_eff_8dev': b8/(b1),"
+            " 'ba_scale_8dev': sc}))"
         ) % (here, os.path.join(here, ".."))
         out = subprocess.run(["python", "-c", code], env=env, timeout=900,
                              capture_output=True, text=True)

@@ -1,11 +1,15 @@
 """Bit-parity of the Pallas voxel-update kernel vs the XLA oracle.
 
-The Pallas kernel (ops/pallas_voxel.py) must reproduce
+The Pallas kernel (examples/pallas_voxel_kernel.py — demoted from the
+production path, see its docstring + SOL_REPORT.json) must reproduce
 ops.tsdf.integrate_chunks exactly — same SDF/weight/color/quality
 semantics as the reference's AVX2 voxelUpdateSIMD
 (ref: ProjectionIntegrator.cpp:67-426). Runs in interpret mode on CPU;
 the same code path compiles via Mosaic on TPU.
 """
+
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -15,7 +19,9 @@ import pytest
 from texturefusion_tpu.config import CameraConfig, PipelineConfig, TSDFConfig
 from texturefusion_tpu.core import camera as cam
 from texturefusion_tpu.ops import tsdf as tsdf_ops
-from texturefusion_tpu.ops.pallas_voxel import integrate_rows_pallas
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+from pallas_voxel_kernel import integrate_rows_pallas  # noqa: E402
 
 
 def _setup(with_color=True, sign=1.0, seed=0, pre_integrated=False):

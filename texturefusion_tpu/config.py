@@ -119,18 +119,10 @@ class TSDFConfig:
     color_band_pad: float = 0.01       # color update band ±(res·√3/2 + 0.01)
     color_saturation: float = 120.0    # accumulator rescale threshold (÷4)
     max_update_chunks: int = 2048      # static per-frame intersect-chunk budget
-    # hand-written Pallas voxel-update kernel (ops/pallas_voxel.py),
-    # bit-parity tested against the XLA formulation in ops/tsdf.py.
-    # Default OFF on measurement: Mosaic's dynamic_gather is vreg-local,
-    # so the kernel samples the image with one-hot MXU products — ~160×
-    # the useful FLOPs — measuring 1.3 ms/integrate vs the XLA path's
-    # 0.38 ms (SOL_REPORT.json; XLA's native gather fusion wins on TPU,
-    # see PARITY.md §2.3). The kernel samples through a pallas_window-row
-    # window: chunks nearer than chunk_extent·fy/pallas_window (~0.33 m
-    # at VGA/256 — under any depth camera's min range) clamp it and
-    # skip the clipped voxels.
-    use_pallas_voxel: bool = False
-    pallas_window: int = 256
+    # NOTE: a hand-written Pallas voxel kernel exists as a bit-parity-
+    # tested case study (examples/pallas_voxel_kernel.py) but LOSES to
+    # XLA's gather fusion on TPU (1.33 vs 0.38 ms/integrate,
+    # SOL_REPORT.json) — the production path is ops/tsdf.py.
     local_frames_per_keyframe: int = 6  # depth-only local frames integrated
     # chunk streaming (fusion/streaming.py): offload far chunks to host
     # when more than this many slots are resident; 0 disables

@@ -367,15 +367,6 @@ class TSDFVolume:
             self._register_new(new_slots)
         return slots[slots >= 0]
 
-    def _use_pallas(self) -> bool:
-        """Pallas voxel kernel on TPU-class backends (Mosaic targets);
-        XLA path everywhere else (and under the CPU test backend)."""
-        if not self.cfg.use_pallas_voxel or self.sharding is not None:
-            return False   # sharded volumes run the XLA+shard_map path
-        if self.cfg.pallas_window > self.intr.height:
-            return False
-        return jax.default_backend() in ("tpu", "axon")
-
     def _padded(self, slots: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Pad slot list to the static budget; excess chunks are dropped
         with a warning count (no silent truncation)."""
@@ -420,30 +411,13 @@ class TSDFVolume:
         for start in range(0, len(all_slots), self.cfg.max_update_chunks):
             chunk_slots = all_slots[start:start + self.cfg.max_update_chunks]
             idx, active = self._padded(chunk_slots)
-            if self._use_pallas():
-                # hand-written voxel kernel: in-place row updates, image
-                # resident in VMEM (ops/pallas_voxel.py; parity-tested
-                # against the XLA path below)
-                from texturefusion_tpu.core import se3
-                from texturefusion_tpu.ops.pallas_voxel import \
-                    integrate_rows_pallas
-                img = jnp.stack([depth, rgb[..., 0] * 255.0,
-                                 rgb[..., 1] * 255.0, rgb[..., 2] * 255.0,
-                                 quality_map])
-                sdf, w, col, cc, quality, updated = integrate_rows_pallas(
-                    self.batch.sdf, self.batch.weight, self.batch.color,
-                    self.batch.color_count, self.origins[idx], idx,
-                    active.astype(jnp.int32), img,
-                    se3.inverse(cam_to_world).reshape(-1),
-                    jnp.asarray([sign], jnp.float32), self.intr, self.cfg,
-                    with_color=with_color, win=self.cfg.pallas_window)
-                self.batch = tsdf_ops.ChunkBatch(sdf, w, col, cc)
-            else:
-                # fused gather→update→scatter: ONE dispatch, donated buffers
-                self.batch, quality, updated = tsdf_ops.integrate_frame_fused(
-                    self.batch, self.origins, idx, active, depth, rgb,
-                    quality_map, cam_to_world, jnp.float32(sign), self.intr,
-                    self.cfg, with_color=with_color)
+            # fused gather→update→scatter: ONE dispatch, donated buffers
+            # (a hand-written Pallas variant was measured SLOWER — see
+            # examples/pallas_voxel_kernel.py for the full rationale)
+            self.batch, quality, updated = tsdf_ops.integrate_frame_fused(
+                self.batch, self.origins, idx, active, depth, rgb,
+                quality_map, cam_to_world, jnp.float32(sign), self.intr,
+                self.cfg, with_color=with_color)
 
             if with_color and keyframe_id is not None:
                 # start the device→host fetch now on the helper thread;

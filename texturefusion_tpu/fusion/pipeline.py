@@ -482,8 +482,14 @@ class ReconstructionPipeline:
                     cosang = (np.trace(pose_now[:3, :3].T
                                        @ disco_pose[:3, :3]) - 1) / 2
                     ang = float(np.arccos(np.clip(cosang, -1.0, 1.0)))
+                    # half a chunk extent of slack: discovery candidates
+                    # carry the truncation-band pad, so only a shift that
+                    # can move chunks across the band boundary invalidates
+                    # the set (0.25·extent dropped most prefetches — BA
+                    # nudges a few cm every keyframe — and re-paid the
+                    # ~22 ms discovery fetch each cycle)
                     if (delta + ang * self.intr.far * 0.5
-                            > 0.25 * self.volume.extent):
+                            > 0.5 * self.volume.extent):
                         pre = None
                 with STOPWATCH.time("integration"):
                     self._integrate_keyframe(st, sign=1.0, prefetched=pre)

@@ -104,6 +104,8 @@ class GCSLAM:
         # stale-reference path re-register against their ADOPTED keyframe
         # asynchronously (results adopted when they land)
         self._pending_refine: List[dict] = []
+        self.refine_dispatched = 0
+        self.refine_adopted = 0
         self._key = jax.random.PRNGKey(42)
         # base for device-side per-frame key derivation (fold_in) — the
         # fused frame step needs no host-side split per frame
@@ -140,11 +142,15 @@ class GCSLAM:
         # called from both the tracking and the fusion threads
         with self._pose_lock:
             if self._poses_pending is not None:
-                dev, bucket = self._poses_pending
+                dev, bucket, n_active = self._poses_pending
                 self._poses_pending = None
                 from texturefusion_tpu.utils.async_fetch import resolve
-                self._poses_np[:bucket] = np.asarray(resolve(dev)).reshape(
-                    bucket, 4, 4)
+                fetched = np.asarray(resolve(dev)).reshape(bucket, 4, 4)
+                # only the rows ACTIVE at dispatch time: a keyframe
+                # promoted while the fetch was in flight lives in a
+                # bucket row whose BA output is stale garbage
+                self._poses_np[:n_active] = fetched[:n_active]
+
 
     @property
     def last_keyframe(self) -> Optional[KeyframeRecord]:
@@ -263,7 +269,7 @@ class GCSLAM:
         # read-then-clear of the same field — an unguarded store here can
         # interleave and silently drop a whole BA round's poses
         with self._pose_lock:
-            self._poses_pending = (flat, bucket)
+            self._poses_pending = (flat, bucket, n_kf)
         # write back pruned-edge validity
         self.edges = self.edges._replace(
             valid=self.edges.valid.at[:e_bucket].set(edges.valid))
@@ -273,7 +279,11 @@ class GCSLAM:
     def _promote_keyframe(self, frame: FrameRecord, kp: Keypoints,
                           pose_world: np.ndarray) -> KeyframeRecord:
         slot = len(self.keyframes)
-        self.poses[slot] = pose_world
+        # direct store: must NOT materialize a pending BA fetch (the
+        # clobber hazard it used to guard is handled by _sync_poses
+        # writing only rows active at dispatch time)
+        with self._pose_lock:
+            self._poses_np[slot] = pose_world
         kf = KeyframeRecord(frame_index=frame.index, slot=slot,
                             origin_index=frame.origin_index)
         self.keyframes.append(kf)
@@ -465,14 +475,26 @@ class GCSLAM:
         The provisional pose is the tracked relative pose composed onto
         the last keyframe; the consume step re-selects the reference
         minimum-disparity candidate pose (ref: GCSLAM.cpp:124-147)."""
-        self.consume_pending_promote()   # at most one in flight
+        from texturefusion_tpu.utils.stopwatch import STOPWATCH as _SW
+        with _SW.time("pd_consume"):
+            self.consume_pending_promote()   # at most one in flight
         last_slot = self.last_keyframe.slot
         rel = tracked_stats[5:21].reshape(4, 4).astype(np.float32)
-        pose_prov = (self.poses[last_slot] @ rel).astype(np.float32)
+        with _SW.time("pd_pose"):
+            # MUST be the post-BA parent pose: a one-BA-round-stale
+            # composition here corrupts the new keyframe's init, the
+            # between-round outlier pruning then prunes GOOD edges whose
+            # residuals look huge, and BA converges to the corruption
+            # (measured 32 mm → 758 mm ATE on the CPU sweep). The sync is
+            # cheap: the BA fetch resolves on its waiter thread ~1 RTT
+            # after dispatch, frames before this read.
+            pose_prov = (self.poses[last_slot] @ rel).astype(np.float32)
         frame.origin_index = self.keyframes[last_slot].origin_index
         frame.tracking_success = True
-        kf = self._promote_keyframe(frame, kp, pose_prov)
-        probe, n_cand, handle = self._dispatch_probe(kp, tracked_stats)
+        with _SW.time("pd_adopt"):
+            kf = self._promote_keyframe(frame, kp, pose_prov)
+        with _SW.time("pd_probe"):
+            probe, n_cand, handle = self._dispatch_probe(kp, tracked_stats)
         self._pending_promote = {
             "probe": probe, "n_cand": n_cand, "handle": handle,
             "kf_slot": kf.slot, "last_slot": last_slot, "rel": rel,
@@ -519,15 +541,21 @@ class GCSLAM:
         # pose from the minimum-disparity successful match
         # (ref: GCSLAM.cpp:124-147); deferred path is single-origin
         best = min(results, key=lambda r: float(r[1][3]))
+        from texturefusion_tpu.utils.stopwatch import STOPWATCH as _SW
         if best[0].slot != pend["last_slot"]:
-            pose_world = self.poses[best[0].slot] @ best[1][5:21].reshape(4, 4)
-            self.poses[kf.slot] = pose_world.astype(np.float32)
-        self._append_probe_edges(pend["probe"], [r[2] for r in results],
-                                 kf.slot)
+            with _SW.time("cpp_pose"):
+                pose_world = (self.poses[best[0].slot]
+                              @ best[1][5:21].reshape(4, 4))
+                self.poses[kf.slot] = pose_world.astype(np.float32)
+        with _SW.time("cpp_edges"):
+            self._append_probe_edges(pend["probe"], [r[2] for r in results],
+                                     kf.slot)
         kf.reg_success_count = len(results)
         if len(results) < 4:   # ref: GCSLAM.cpp:171-177 DB insertion gate
-            self._db_add(kf.slot, self.frames[kf.frame_index].keypoints)
-        self._run_ba()
+            with _SW.time("cpp_db"):
+                self._db_add(kf.slot, self.frames[kf.frame_index].keypoints)
+        with _SW.time("cpp_ba"):
+            self._run_ba()
 
     def _probe_candidates(self, kp: Keypoints,
                           tracked_stats: Optional[np.ndarray]):
@@ -655,7 +683,8 @@ class GCSLAM:
                      and res_kf_slot != last_kf.slot)
         if stale_ref:
             return self._update_frame_stale(frame, kp, res, res_kf_slot,
-                                            last_kf, stats=stats)
+                                            last_kf, stats=stats,
+                                            stats_ff=stats_ff)
         kp_ref = self.frames[last_kf.frame_index].keypoints
         if res is None:
             res = register_frames(kp_ref, kp, self._split_key(),
@@ -782,7 +811,8 @@ class GCSLAM:
     def _update_frame_stale(self, frame: FrameRecord, kp,
                             res, res_kf_slot: int,
                             last_kf: KeyframeRecord,
-                            stats: Optional[np.ndarray] = None
+                            stats: Optional[np.ndarray] = None,
+                            stats_ff: Optional[np.ndarray] = None
                             ) -> FrameRecord:
         """Finalize a frame whose registration ran against a keyframe
         that has since been superseded (1-frame pipelined tracking).
@@ -815,14 +845,35 @@ class GCSLAM:
             if self.cfg.refine_stale:
                 self._dispatch_refine(frame, kp, last_kf)
         else:
-            self.fail_count += 1
-            frame.tracking_success = False
+            # registration vs the SUPERSEDED keyframe failed (its
+            # baseline is a keyframe interval wider than the adopted
+            # one's). Chain through the same-dispatch frame-to-frame
+            # result when available, else hold the previous pose; either
+            # way the async re-registration against the ADOPTED keyframe
+            # below recovers the true pose one frame later (without it,
+            # these frames carried 80-170 mm errors at pipeline_depth 2).
             prev = self.frames[-2] if len(self.frames) > 1 else None
-            if prev is not None and prev.keyframe_slot == last_kf.slot \
-                    and prev.rel_to_keyframe is not None:
-                frame.rel_to_keyframe = prev.rel_to_keyframe.copy()
+            chained = None
+            if (stats_ff is not None and stats_ff[0] > 0.5
+                    and prev is not None
+                    and prev.keyframe_slot == last_kf.slot
+                    and prev.rel_to_keyframe is not None):
+                chained = prev.rel_to_keyframe @ stats_ff[5:21].reshape(4, 4)
+            if chained is not None:
+                frame.tracking_success = True
+                frame.rel_to_keyframe = chained.astype(np.float32)
+                last_kf.local_frames.append(frame.index)
+                self.fail_count = 0
             else:
-                frame.rel_to_keyframe = np.eye(4, dtype=np.float32)
+                self.fail_count += 1
+                frame.tracking_success = False
+                if prev is not None and prev.keyframe_slot == last_kf.slot \
+                        and prev.rel_to_keyframe is not None:
+                    frame.rel_to_keyframe = prev.rel_to_keyframe.copy()
+                else:
+                    frame.rel_to_keyframe = np.eye(4, dtype=np.float32)
+            if self.cfg.refine_stale:
+                self._dispatch_refine(frame, kp, last_kf)
         self._prev_kp = kp
         return frame
 
@@ -844,6 +895,7 @@ class GCSLAM:
         self._pending_refine.append({
             "frame": frame.index, "kf_slot": last_kf.slot,
             "fetch": fetch_async(res.stats)})
+        self.refine_dispatched += 1
 
     def consume_pending_refine(self, force: bool = False) -> None:
         """Adopt landed stale-frame re-registrations: replace the
@@ -865,6 +917,10 @@ class GCSLAM:
                 f.rel_to_keyframe = st[5:21].reshape(4, 4).astype(
                     np.float32).copy()
                 f.rel_pose_dev = None
+                # a frame whose wide-baseline stale registration failed
+                # is rescued by this direct one
+                f.tracking_success = True
+                self.refine_adopted += 1
         self._pending_refine = keep
 
     def _store_icp_reference(self, depth) -> None:

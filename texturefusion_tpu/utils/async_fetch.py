@@ -28,11 +28,19 @@ import jax
 
 
 class DeviceFetch:
-    """Handle for an in-flight device→host copy of a pytree."""
+    """Handle for an in-flight device→host copy of a pytree.
+
+    background=True (the DEFAULT) is load-bearing on the tunneled
+    backend: `is_ready()` there only flips after a link RTT — and can
+    lag UNBOUNDEDLY when nothing else drives the tunnel's event loop
+    (measured 108 s once) — so every done()-gated consumer (ready-only
+    flushes, pipeline riding, grace windows) mis-saw fetches as pending
+    forever. A waiter thread's device_get gets the bytes ~1 RTT after
+    compute, reliably."""
 
     __slots__ = ("tree", "_event", "_result")
 
-    def __init__(self, tree: Any, background: bool = False):
+    def __init__(self, tree: Any, background: bool = True):
         self.tree = tree
         self._event = None
         self._result = None
@@ -82,11 +90,10 @@ class DeviceFetch:
             return True
 
 
-def fetch_async(tree: Any, background: bool = False) -> DeviceFetch:
+def fetch_async(tree: Any, background: bool = True) -> DeviceFetch:
     """Start the device→host copies for a pytree; returns a handle whose
     result() is the device_get'd host pytree (near-free once landed).
-    background=True adds a waiter thread so done() ⇒ resolve is free —
-    use for LARGE payloads consumed opportunistically."""
+    A waiter thread makes done() mean LANDED (see DeviceFetch)."""
     return DeviceFetch(tree, background=background)
 
 
