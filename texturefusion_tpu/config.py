@@ -195,12 +195,15 @@ class ParallelConfig:
     # "chunk batch is the natural shard axis"). Requires >1 device.
     tsdf_sharded: bool = False
     # depth of the tracking software pipeline: frame N's host decisions
-    # are finalized `pipeline_depth` frames after its dispatch. Depth 1
-    # plus the background stats-fetch thread hides the link RTT without
-    # delaying keyframe decisions (depth 2 hides more queueing but costs
-    # ~1.7× ATE on the bench loop: one extra frame per keyframe tracks
-    # against a stale reference).
-    pipeline_depth: int = 1
+    # are finalized `pipeline_depth` frames after its dispatch. Deeper
+    # pipelines hide the stats-fetch latency (device-queue lag + link
+    # RTT ≈ 2-3 frames when frames arrive back-to-back); frames that
+    # finalize against a superseded keyframe are re-registered
+    # asynchronously (tracking.refine_stale), so depth costs no accuracy
+    # (CPU sweep: depth1 15.1 mm ATE, depth2 14.5, depth3 13.0). Default
+    # 2: sensor-paced feeds (30 fps) have natural inter-frame gaps and
+    # need less depth than the benchmark's as-fast-as-possible replay.
+    pipeline_depth: int = 2
     # fully asynchronous fusion cycles: each cycle only DISPATCHES device
     # work + starts device→host copies, and consumes the results (mesh
     # counts, texture outputs, GC probe) at the start of the NEXT cycle

@@ -283,6 +283,7 @@ class ReconstructionPipeline:
                                            res_ff=p["res_ff"],
                                            stats_ff=stats_ff)
         self.stats["frames"] += 1
+        self._refresh_disco_prefetch()
 
         if frame.is_keyframe:
             rgb_u8 = (rgb * 255).astype(jnp.uint8)
@@ -310,7 +311,10 @@ class ReconstructionPipeline:
             # inside that window can be cm-scale, so the consume side
             # re-validates the pose delta and falls back to a fresh
             # discovery when the candidate set may have shifted.
-            disco_pose = self.slam.keyframe_pose(frame.keyframe_slot)
+            # peek: syncing would stall on the in-flight BA fetch; the
+            # consume-side guard below re-validates against the synced
+            # pose anyway before trusting the candidate set
+            disco_pose = self.slam.keyframe_pose_peek(frame.keyframe_slot)
             self._disco_prefetch[frame.keyframe_slot] = (
                 self.volume.dispatch_discovery(
                     jnp.asarray(depth_refined), jnp.asarray(disco_pose)),
@@ -351,6 +355,32 @@ class ReconstructionPipeline:
                             st.depth, st.depth_weight = _fuse_depth_jit(
                                 jnp.asarray(st.depth), st.depth_weight,
                                 depth_refined, rel, intr)
+
+    def _refresh_disco_prefetch(self) -> None:
+        """Re-dispatch the newest keyframe's chunk-discovery prefetch
+        once its deferred promotion has been consumed: the promotion-time
+        dispatch used the provisional (peeked) pose, and the consume's
+        reference re-selection + BA init can move it enough that the
+        consume-side guard would reject the candidate set (measured 17
+        of 27 prefetches dropped → a ~100 ms queued fresh-discovery
+        fetch on the fusion thread each cycle). The refresh still runs a
+        full keyframe interval before the set is needed."""
+        if not self._disco_prefetch or self.slam._pending_promote is not None:
+            return
+        slot = max(self._disco_prefetch)
+        pre, pose0 = self._disco_prefetch[slot]
+        st = self.kf_states.get(slot)
+        if st is None or st.integrated:
+            return
+        pose1 = self.slam.keyframe_pose_peek(slot)
+        delta = float(np.linalg.norm(pose1[:3, 3] - pose0[:3, 3]))
+        cosang = (np.trace(pose1[:3, :3].T @ pose0[:3, :3]) - 1) / 2
+        ang = float(np.arccos(np.clip(cosang, -1.0, 1.0)))
+        if (delta + ang * self.intr.far * 0.5
+                > 0.25 * self.volume.extent):
+            self._disco_prefetch[slot] = (
+                self.volume.dispatch_discovery(
+                    jnp.asarray(st.depth), jnp.asarray(pose1)), pose1)
 
     def finish(self) -> None:
         """Flush: fuse remaining keyframes and run final re-integration
@@ -482,15 +512,20 @@ class ReconstructionPipeline:
                     cosang = (np.trace(pose_now[:3, :3].T
                                        @ disco_pose[:3, :3]) - 1) / 2
                     ang = float(np.arccos(np.clip(cosang, -1.0, 1.0)))
-                    # half a chunk extent of slack: discovery candidates
-                    # carry the truncation-band pad, so only a shift that
-                    # can move chunks across the band boundary invalidates
-                    # the set (0.25·extent dropped most prefetches — BA
-                    # nudges a few cm every keyframe — and re-paid the
-                    # ~22 ms discovery fetch each cycle)
+                    # discovery candidates carry the truncation-band pad,
+                    # so only a shift that can move chunks across the
+                    # band boundary invalidates the set. The drift-reuse
+                    # guard's threshold (0.75·extent, rotation sweep at
+                    # half the far plane) applies — a TIGHTER guard here
+                    # dropped most prefetches over routine BA nudges and
+                    # re-paid a ~100 ms queued fresh-discovery fetch per
+                    # cycle on the fusion thread.
                     if (delta + ang * self.intr.far * 0.5
-                            > 0.5 * self.volume.extent):
+                            > 0.75 * self.volume.extent):
                         pre = None
+                        STOPWATCH.counts["disco_pref_drop"] += 1
+                    else:
+                        STOPWATCH.counts["disco_pref_used"] += 1
                 with STOPWATCH.time("integration"):
                     self._integrate_keyframe(st, sign=1.0, prefetched=pre)
         with STOPWATCH.time("meshing"):

@@ -159,6 +159,15 @@ class GCSLAM:
     def keyframe_pose(self, slot: int) -> np.ndarray:
         return self.poses[slot].copy()   # copy: read from two threads
 
+    def keyframe_pose_peek(self, slot: int) -> np.ndarray:
+        """Pose WITHOUT materializing a pending BA fetch (≤1 BA round
+        stale). For provisional uses that are later re-validated against
+        the synced pose (discovery prefetch, provisional promotion) —
+        the device queue runs ~2 frames behind the host, so a fetch
+        needed sooner than that after dispatch always stalls."""
+        with self._pose_lock:
+            return self._poses_np[slot].copy()
+
     def frame_pose(self, idx: int) -> np.ndarray:
         """World pose of any frame: keyframe pose ∘ stored relative pose
         (local-frame propagation, ref: MultiViewGeometry.cpp:1149-1156)."""
@@ -230,7 +239,6 @@ class GCSLAM:
         active = jnp.asarray(np.arange(bucket) < n_kf)
         # edge slice in a static-size bucket
         e_bucket = _next_bucket(self.n_edges, lo=16)
-        edges = jax.tree.map(lambda a: a[:e_bucket], self.edges)
 
         n_dev = self.config.parallel.n_devices
         multi = bool(n_dev and n_dev > 1 and len(jax.devices()) >= n_dev)
@@ -254,10 +262,11 @@ class GCSLAM:
                 e_bucket, use_schur,
                 self.config.ba.schur_separator_budget)
             errs = list(errs_arr)               # device; fetched lazily
-            edges = edges._replace(valid=valid)
         else:
+            edges = jax.tree.map(lambda a: a[:e_bucket], self.edges)
             new_poses, edges, errs = fastba.optimize(
                 poses, edges, bucket, active, self.config.ba)
+            valid = edges.valid
         # keep errors device-resident (fetch only when read, e.g. tests);
         # poses: start an ASYNC flat fetch and adopt lazily on next read
         # (1D transfer; 2D/3D fetches relayout pathologically on the
@@ -272,7 +281,7 @@ class GCSLAM:
             self._poses_pending = (flat, bucket, n_kf)
         # write back pruned-edge validity
         self.edges = self.edges._replace(
-            valid=self.edges.valid.at[:e_bucket].set(edges.valid))
+            valid=self.edges.valid.at[:e_bucket].set(valid))
 
     # ------------------------------------------------------------ keyframes
 
@@ -481,14 +490,15 @@ class GCSLAM:
         last_slot = self.last_keyframe.slot
         rel = tracked_stats[5:21].reshape(4, 4).astype(np.float32)
         with _SW.time("pd_pose"):
-            # MUST be the post-BA parent pose: a one-BA-round-stale
-            # composition here corrupts the new keyframe's init, the
-            # between-round outlier pruning then prunes GOOD edges whose
-            # residuals look huge, and BA converges to the corruption
-            # (measured 32 mm → 758 mm ATE on the CPU sweep). The sync is
-            # cheap: the BA fetch resolves on its waiter thread ~1 RTT
-            # after dispatch, frames before this read.
-            pose_prov = (self.poses[last_slot] @ rel).astype(np.float32)
+            # peek (≤1 BA round stale): the pending BA fetch lands ~2
+            # frames after dispatch (device-queue lag), so syncing here
+            # stalled ~60 ms per promotion. Consistency with BA's init is
+            # restored at consume time, which RECOMPOSES this pose from
+            # the by-then-synced parent before running BA — a stale-vs-
+            # synced mismatch at the GN init made the between-round
+            # outlier pruning remove good edges (32 → 758 mm ATE).
+            pose_prov = (self.keyframe_pose_peek(last_slot) @ rel
+                         ).astype(np.float32)
         frame.origin_index = self.keyframes[last_slot].origin_index
         frame.tracking_success = True
         with _SW.time("pd_adopt"):
@@ -539,14 +549,19 @@ class GCSLAM:
             self._db_add(kf.slot, fr.keypoints)
             return
         # pose from the minimum-disparity successful match
-        # (ref: GCSLAM.cpp:124-147); deferred path is single-origin
+        # (ref: GCSLAM.cpp:124-147); deferred path is single-origin.
+        # ALWAYS recomposed here from the now-synced parent: promotion
+        # composed it from a peeked (possibly one-BA-round-stale) parent,
+        # and BA's init must be consistent with the poses it reads.
         best = min(results, key=lambda r: float(r[1][3]))
         from texturefusion_tpu.utils.stopwatch import STOPWATCH as _SW
-        if best[0].slot != pend["last_slot"]:
-            with _SW.time("cpp_pose"):
+        with _SW.time("cpp_pose"):
+            if best[0].slot != pend["last_slot"]:
                 pose_world = (self.poses[best[0].slot]
                               @ best[1][5:21].reshape(4, 4))
-                self.poses[kf.slot] = pose_world.astype(np.float32)
+            else:
+                pose_world = self.poses[pend["last_slot"]] @ pend["rel"]
+            self.poses[kf.slot] = pose_world.astype(np.float32)
         with _SW.time("cpp_edges"):
             self._append_probe_edges(pend["probe"], [r[2] for r in results],
                                      kf.slot)
@@ -554,8 +569,25 @@ class GCSLAM:
         if len(results) < 4:   # ref: GCSLAM.cpp:171-177 DB insertion gate
             with _SW.time("cpp_db"):
                 self._db_add(kf.slot, self.frames[kf.frame_index].keypoints)
+        import os as _os
+        t0 = None
+        if _os.environ.get("TF_SLOW_LOG"):
+            import time as _t
+            t0 = _t.perf_counter()
         with _SW.time("cpp_ba"):
             self._run_ba()
+        if t0 is not None:
+            import sys as _s
+            import time as _t
+            import traceback as _tb
+            dt = (_t.perf_counter() - t0) * 1e3
+            if dt > 50:
+                import threading as _th
+                stack = _tb.extract_stack(limit=6)
+                chain = ">".join(f.name for f in stack[:-1])
+                print(f"[cpp_ba-slow] {dt:.0f} ms frames={len(self.frames)} "
+                      f"thread={_th.current_thread().name} via {chain}",
+                      file=_s.stderr)
 
     def _probe_candidates(self, kp: Keypoints,
                           tracked_stats: Optional[np.ndarray]):

@@ -11,9 +11,13 @@ device-side timelines (SURVEY.md §5).
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from collections import defaultdict
 from typing import Dict
+
+# TF_SLOW_LOG=1: print every timed block over 50 ms with its thread
+_SLOW_LOG = bool(os.environ.get("TF_SLOW_LOG"))
 
 
 class Stopwatch:
@@ -35,6 +39,12 @@ class Stopwatch:
             self.totals[name] += dt
             self.totals_cpu[name] += time.thread_time() - c0
             self.counts[name] += 1
+            if _SLOW_LOG and dt > 0.05:
+                import sys
+                import threading
+                print(f"[slow] {name} {dt * 1e3:.1f} ms "
+                      f"on {threading.current_thread().name}",
+                      file=sys.stderr)
 
     def tick(self, name: str) -> None:
         self.totals[f"_tick_{name}"] = time.perf_counter()
@@ -55,6 +65,9 @@ class Stopwatch:
             cpu = 1000.0 * self.totals_cpu.get(k, 0.0) / max(self.counts[k], 1)
             lines.append(f"{k:>16s}: {v:8.2f} ms avg "
                          f"(cpu {cpu:7.2f}) ({self.counts[k]}x)")
+        for k in sorted(self.counts):
+            if k not in self.totals:    # pure event counters
+                lines.append(f"{k:>16s}: {self.counts[k]} events")
         return "\n".join(lines)
 
     def reset(self) -> None:
