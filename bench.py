@@ -138,13 +138,16 @@ def main():
         ba=BAConfig(schur_min_keyframes=16),
         tsdf=TSDFConfig(voxel_resolution=0.02, capacity=16384,
                         max_update_chunks=1024),
-        # pipeline_depth=3: frames arrive back-to-back here (no sensor
-        # cadence), so the stats fetch needs ~2-3 frames of pipelining to
+        # pipeline_depth=2: frames arrive back-to-back here (no sensor
+        # cadence), so the stats fetch needs ~2 frames of pipelining to
         # land (device-queue lag + link RTT). Stale-finalized frames are
         # re-registered against their adopted keyframe asynchronously
-        # (tracking.refine_stale), so deep pipelining costs no accuracy
-        # (CPU sweep: depth1 15.1 mm ATE, depth2 14.5, depth3 13.0).
-        parallel=ParallelConfig(async_fusion=True, pipeline_depth=3),
+        # (tracking.refine_stale), so the depth costs no tracking
+        # accuracy (CPU sweep ATE: depth1 15.1 mm, depth2 14.5, depth3
+        # 13.0) — but depth 3 delays promotions ~1 frame further (25 vs
+        # 30 keyframes on this loop), thinning the map (TPU map RMS 27
+        # vs 17 mm), so 2 is the operating point.
+        parallel=ParallelConfig(async_fusion=True, pipeline_depth=2),
     )
     intr = cam.Intrinsics.from_config(config.camera)
     n_frames = 120

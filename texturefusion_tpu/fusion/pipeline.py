@@ -114,6 +114,10 @@ class ReconstructionPipeline:
             self.volume.streamer = self.streamer
         self.kf_states: Dict[int, KeyframeFusionState] = {}
         self._disco_prefetch: Dict[int, object] = {}  # kf_slot → dispatch
+        # kf_slot → (in-flight fresh discovery, pose): top-up chunks the
+        # stale prefetched candidate set may have missed (applied next
+        # cycle by _consume_disco_delta)
+        self._disco_delta: Dict[int, tuple] = {}
         self._last_seen_kf = -1
         self._inflight: List[dict] = []  # pipelined pending frames (FIFO)
         self._gc_pending = None         # deferred GC occupancy probe
@@ -356,6 +360,51 @@ class ReconstructionPipeline:
                                 jnp.asarray(st.depth), st.depth_weight,
                                 depth_refined, rel, intr)
 
+    def _consume_disco_delta(self, force: bool = False) -> None:
+        """Integrate a keyframe into chunks its stale prefetched
+        candidate set missed: the fresh discovery dispatched at
+        integration time has landed by now; allocate its NEW chunks and
+        integrate the (still device-resident) keyframe + local depths
+        into exactly those rows. Per-chunk voxel updates are independent,
+        so integrate(A) then integrate(B∖A) ≡ integrate(A∪B)."""
+        from texturefusion_tpu.utils.async_fetch import resolve
+        for slot in list(self._disco_delta):
+            (fut, max_out), pose_used = self._disco_delta[slot]
+            if not force and not fut.done():
+                continue
+            del self._disco_delta[slot]
+            st = self.kf_states.get(slot)
+            if st is None or not st.integrated \
+                    or st.integrated_slots is None:
+                continue
+            if not np.allclose(st.integrated_pose, pose_used, atol=1e-4):
+                # reintegrated at a different pose since dispatch — the
+                # drift pass owns the chunk set now; drop the top-up
+                continue
+            pose_used = st.integrated_pose   # exact de-integration pose
+            ids, n = resolve(fut)
+            n = int(n)
+            if n == 0 or n >= max_out:
+                continue
+            slots_all = self.volume.allocate(np.asarray(ids[:n]))
+            fresh = slots_all[(slots_all >= 0)
+                              & ~np.isin(slots_all, st.integrated_slots)]
+            if len(fresh) == 0:
+                continue
+            self.volume.integrate_frame(
+                jnp.asarray(st.depth),
+                jnp.asarray(st.rgb).astype(jnp.float32) / 255.0,
+                jnp.asarray(st.quality), jnp.asarray(pose_used),
+                keyframe_id=slot, sign=1.0, slots=fresh)
+            if st.local_depths:
+                self.volume.integrate_local_depths(
+                    st.local_depths,
+                    [pose_used @ r for r in st.local_rel_poses],
+                    fresh, sign=1.0)
+            st.integrated_slots = np.concatenate(
+                [st.integrated_slots, fresh])
+            STOPWATCH.counts["disco_delta_chunks"] += len(fresh)
+
     def _refresh_disco_prefetch(self) -> None:
         """Re-dispatch the newest keyframe's chunk-discovery prefetch
         once its deferred promotion has been consumed: the promotion-time
@@ -397,7 +446,10 @@ class ReconstructionPipeline:
             # drain deferred results BEFORE the final sync remesh — the
             # pending counts predate it and must not overwrite its counts
             self._consume_cycle_results(force=True)
-        # re-integrate any keyframe whose pose moved since integration
+        # re-integrate any keyframe whose pose moved since integration.
+        # The final BA's pose fetch must be materialized first — the
+        # steady-state path deliberately reads peeked poses.
+        self.slam._sync_poses()
         self._reintegrate_drifted(max_updates=len(self.slam.keyframes))
         self.mesher.update_meshes()
         if async_mode:
@@ -466,6 +518,8 @@ class ReconstructionPipeline:
             self.mesher.consume_counts(ready_only=not force)
         with STOPWATCH.time("consume_tex"):
             self._texture_consume(force=force)
+        with STOPWATCH.time("consume_disco_delta"):
+            self._consume_disco_delta(force=force)
         with STOPWATCH.time("consume_gc"):
             pend, self._gc_pending = self._gc_pending, None
             if pend is not None:
@@ -500,30 +554,31 @@ class ReconstructionPipeline:
                 pre = self._disco_prefetch.pop(finished_slot, None)
                 if pre is not None:
                     pre, disco_pose = pre
-                    # the prefetch ran at promotion time with the then-
-                    # current pose; a BA correction since then can shift
-                    # the truncation-band chunk set. Re-validate with the
-                    # same translation + far-plane-sweep metric the drift
-                    # reuse guard uses; beyond a quarter chunk extent the
-                    # trusted set may miss band chunks → fresh discovery.
+                    # the prefetch ran with a provisional pose; a BA
+                    # correction since then can shift the truncation-band
+                    # chunk set. The prefetched set is ALWAYS used (a
+                    # fresh blocking discovery paid ~100-180 ms of queued
+                    # fetch on the fusion thread); when the pose moved
+                    # beyond the drift-reuse threshold, a fresh discovery
+                    # is dispatched too and any chunks it adds are
+                    # topped-up NEXT cycle (voxel updates are per-chunk
+                    # independent, so integrating the keyframe into the
+                    # missing rows later composes exactly;
+                    # ref validChunks reuse: MobileFusion.cpp:128-143).
                     pose_now = self.slam.keyframe_pose(finished_slot)
                     delta = float(np.linalg.norm(pose_now[:3, 3]
                                                  - disco_pose[:3, 3]))
                     cosang = (np.trace(pose_now[:3, :3].T
                                        @ disco_pose[:3, :3]) - 1) / 2
                     ang = float(np.arccos(np.clip(cosang, -1.0, 1.0)))
-                    # discovery candidates carry the truncation-band pad,
-                    # so only a shift that can move chunks across the
-                    # band boundary invalidates the set. The drift-reuse
-                    # guard's threshold (0.75·extent, rotation sweep at
-                    # half the far plane) applies — a TIGHTER guard here
-                    # dropped most prefetches over routine BA nudges and
-                    # re-paid a ~100 ms queued fresh-discovery fetch per
-                    # cycle on the fusion thread.
                     if (delta + ang * self.intr.far * 0.5
                             > 0.75 * self.volume.extent):
-                        pre = None
-                        STOPWATCH.counts["disco_pref_drop"] += 1
+                        self._disco_delta[finished_slot] = (
+                            self.volume.dispatch_discovery(
+                                jnp.asarray(st.depth),
+                                jnp.asarray(pose_now)),
+                            np.asarray(pose_now))
+                        STOPWATCH.counts["disco_pref_topup"] += 1
                     else:
                         STOPWATCH.counts["disco_pref_used"] += 1
                 with STOPWATCH.time("integration"):
@@ -603,7 +658,12 @@ class ReconstructionPipeline:
         slots = [s for s, st in list(self.kf_states.items()) if st.integrated]
         if not slots:
             return
-        current = np.stack([self.slam.keyframe_pose(s) for s in slots])
+        # peeked poses: drift selection and the correction target may lag
+        # one BA round; the next cycle's pass picks up the residual (the
+        # de-integration always uses the RECORDED integrated_pose, so
+        # consistency never depends on this read being fresh). Syncing
+        # here stalled the fusion thread on the in-flight BA fetch.
+        current = np.stack([self.slam.keyframe_pose_peek(s) for s in slots])
         integrated = np.stack([self.kf_states[s].integrated_pose for s in slots])
         costs = dynamics.pose_drift_costs(current, integrated)
         picked = dynamics.select_keyframes_to_update(costs, max_updates)
@@ -613,7 +673,7 @@ class ReconstructionPipeline:
                   f"mean={costs.mean():.2e} picked={picked}")
         for i in picked:
             st = self.kf_states[slots[i]]
-            pose_new = self.slam.keyframe_pose(st.kf_slot)
+            pose_new = self.slam.keyframe_pose_peek(st.kf_slot)
             pose_old = st.integrated_pose
             # the recorded chunk set (ref: kf.validChunks reuse,
             # MobileFusion.cpp:128-143) stays valid when the corrected

@@ -862,8 +862,18 @@ class GCSLAM:
         frame.is_keyframe = False
         if success:
             rel_old = stats[5:21].reshape(4, 4)
-            p_world = self.poses[res_kf_slot] @ rel_old
-            rel_new = np.linalg.inv(self.poses[last_kf.slot]) @ p_world
+            # peeked snapshot for BOTH reads: only the RELATIVE transform
+            # between the two keyframes matters here, so a consistent
+            # (possibly one-BA-round-stale) snapshot is exact up to the
+            # correction BA applies to their relative pose — and the
+            # async re-registration below replaces this composition
+            # anyway. Syncing stalled on the BA dispatched moments
+            # earlier in the same frame's consume (~100 ms per stale
+            # frame on the tracking thread).
+            with self._pose_lock:     # one lock → one consistent snapshot
+                pose_old_kf = self._poses_np[res_kf_slot].copy()
+                pose_new_kf = self._poses_np[last_kf.slot].copy()
+            rel_new = np.linalg.inv(pose_new_kf) @ pose_old_kf @ rel_old
             frame.tracking_success = True
             frame.rel_to_keyframe = rel_new.astype(np.float32)
             last_kf.local_frames.append(frame.index)
