@@ -323,7 +323,18 @@ class ReconstructionPipeline:
                 self.volume.dispatch_discovery(
                     jnp.asarray(depth_refined), jnp.asarray(disco_pose)),
                 disco_pose)
-            while len(self._disco_prefetch) > 4:   # unconsumed (non-fused)
+            # evict only prefetches whose keyframe ALREADY integrated or
+            # can never fuse (other origins) — when fusion cycles back
+            # up, several un-fused keyframes legitimately queue, and a
+            # size-based eviction discarded exactly the prefetch the
+            # next cycle needed (21 of 27 lost → ~130 ms blocking
+            # re-discovery each). Handles are ~48 KB each.
+            for s in list(self._disco_prefetch):
+                st_s = self.kf_states.get(s)
+                if (st_s is None or st_s.integrated
+                        or self.slam.keyframes[s].origin_index != 0):
+                    self._disco_prefetch.pop(s)
+            while len(self._disco_prefetch) > 16:   # runaway backstop
                 self._disco_prefetch.pop(min(self._disco_prefetch))
             prev = frame.keyframe_slot - 1
             if prev >= 0:
