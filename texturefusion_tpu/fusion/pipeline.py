@@ -389,8 +389,16 @@ class ReconstructionPipeline:
                     or st.integrated_slots is None:
                 continue
             if not np.allclose(st.integrated_pose, pose_used, atol=1e-4):
-                # reintegrated at a different pose since dispatch — the
-                # drift pass owns the chunk set now; drop the top-up
+                # reintegrated at a different pose since dispatch —
+                # RE-dispatch at the new pose rather than dropping: a
+                # dropped top-up leaves a permanent band gap (the reuse
+                # reintegration path keeps recycling the incomplete
+                # recorded set), which measurably thinned the map
+                pose_new = np.asarray(st.integrated_pose)
+                self._disco_delta[slot] = (
+                    self.volume.dispatch_discovery(
+                        jnp.asarray(st.depth), jnp.asarray(pose_new)),
+                    pose_new)
                 continue
             pose_used = st.integrated_pose   # exact de-integration pose
             ids, n = resolve(fut)
@@ -427,20 +435,24 @@ class ReconstructionPipeline:
         full keyframe interval before the set is needed."""
         if not self._disco_prefetch or self.slam._pending_promote is not None:
             return
-        slot = max(self._disco_prefetch)
-        pre, pose0 = self._disco_prefetch[slot]
-        st = self.kf_states.get(slot)
-        if st is None or st.integrated:
-            return
-        pose1 = self.slam.keyframe_pose_peek(slot)
-        delta = float(np.linalg.norm(pose1[:3, 3] - pose0[:3, 3]))
-        cosang = (np.trace(pose1[:3, :3].T @ pose0[:3, :3]) - 1) / 2
-        ang = float(np.arccos(np.clip(cosang, -1.0, 1.0)))
-        if (delta + ang * self.intr.far * 0.5
-                > 0.25 * self.volume.extent):
-            self._disco_prefetch[slot] = (
-                self.volume.dispatch_discovery(
-                    jnp.asarray(st.depth), jnp.asarray(pose1)), pose1)
+        # ALL queued prefetches: when fusion cycles back up, several
+        # un-fused keyframes hold prefetches whose provisional poses BA
+        # keeps correcting; a re-dispatch is ~0.2 ms + a 48 KB fetch,
+        # while a stale set costs a delta top-up round later
+        for slot in list(self._disco_prefetch):
+            pre, pose0 = self._disco_prefetch[slot]
+            st = self.kf_states.get(slot)
+            if st is None or st.integrated:
+                continue
+            pose1 = self.slam.keyframe_pose_peek(slot)
+            delta = float(np.linalg.norm(pose1[:3, 3] - pose0[:3, 3]))
+            cosang = (np.trace(pose1[:3, :3].T @ pose0[:3, :3]) - 1) / 2
+            ang = float(np.arccos(np.clip(cosang, -1.0, 1.0)))
+            if (delta + ang * self.intr.far * 0.5
+                    > 0.25 * self.volume.extent):
+                self._disco_prefetch[slot] = (
+                    self.volume.dispatch_discovery(
+                        jnp.asarray(st.depth), jnp.asarray(pose1)), pose1)
 
     def finish(self) -> None:
         """Flush: fuse remaining keyframes and run final re-integration
