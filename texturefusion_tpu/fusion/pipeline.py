@@ -114,10 +114,11 @@ class ReconstructionPipeline:
             self.volume.streamer = self.streamer
         self.kf_states: Dict[int, KeyframeFusionState] = {}
         self._disco_prefetch: Dict[int, object] = {}  # kf_slot → dispatch
-        # kf_slot → (in-flight fresh discovery, pose): top-up chunks the
-        # stale prefetched candidate set may have missed (applied next
-        # cycle by _consume_disco_delta)
-        self._disco_delta: Dict[int, tuple] = {}
+        # kf_slot → in-flight fresh discovery: keyframes whose prefetched
+        # candidate set went stale integrate ONE CYCLE LATER with the
+        # re-discovered set (integrated when the fetch lands; blocking on
+        # a fresh discovery cost ~100-180 ms of queued fetch per cycle)
+        self._deferred_integration: Dict[int, object] = {}
         self._last_seen_kf = -1
         self._inflight: List[dict] = []  # pipelined pending frames (FIFO)
         self._gc_pending = None         # deferred GC occupancy probe
@@ -371,58 +372,22 @@ class ReconstructionPipeline:
                                 jnp.asarray(st.depth), st.depth_weight,
                                 depth_refined, rel, intr)
 
-    def _consume_disco_delta(self, force: bool = False) -> None:
-        """Integrate a keyframe into chunks its stale prefetched
-        candidate set missed: the fresh discovery dispatched at
-        integration time has landed by now; allocate its NEW chunks and
-        integrate the (still device-resident) keyframe + local depths
-        into exactly those rows. Per-chunk voxel updates are independent,
-        so integrate(A) then integrate(B∖A) ≡ integrate(A∪B)."""
-        from texturefusion_tpu.utils.async_fetch import resolve
-        for slot in list(self._disco_delta):
-            (fut, max_out), pose_used = self._disco_delta[slot]
-            if not force and not fut.done():
+    def _consume_deferred_integration(self, force: bool = False) -> None:
+        """Integrate keyframes whose candidate set had to be
+        re-discovered (stale prefetch): the fresh discovery has landed by
+        the next cycle, so the integration runs with an exact set and
+        ZERO blocking fetches — one cycle later than usual, which the
+        drift-reintegration machinery already tolerates."""
+        for slot in list(self._deferred_integration):
+            fut = self._deferred_integration[slot]
+            if not force and not fut[0].done():
                 continue
-            del self._disco_delta[slot]
+            del self._deferred_integration[slot]
             st = self.kf_states.get(slot)
-            if st is None or not st.integrated \
-                    or st.integrated_slots is None:
+            if st is None or st.integrated:
                 continue
-            if not np.allclose(st.integrated_pose, pose_used, atol=1e-4):
-                # reintegrated at a different pose since dispatch —
-                # RE-dispatch at the new pose rather than dropping: a
-                # dropped top-up leaves a permanent band gap (the reuse
-                # reintegration path keeps recycling the incomplete
-                # recorded set), which measurably thinned the map
-                pose_new = np.asarray(st.integrated_pose)
-                self._disco_delta[slot] = (
-                    self.volume.dispatch_discovery(
-                        jnp.asarray(st.depth), jnp.asarray(pose_new)),
-                    pose_new)
-                continue
-            pose_used = st.integrated_pose   # exact de-integration pose
-            ids, n = resolve(fut)
-            n = int(n)
-            if n == 0 or n >= max_out:
-                continue
-            slots_all = self.volume.allocate(np.asarray(ids[:n]))
-            fresh = slots_all[(slots_all >= 0)
-                              & ~np.isin(slots_all, st.integrated_slots)]
-            if len(fresh) == 0:
-                continue
-            self.volume.integrate_frame(
-                jnp.asarray(st.depth),
-                jnp.asarray(st.rgb).astype(jnp.float32) / 255.0,
-                jnp.asarray(st.quality), jnp.asarray(pose_used),
-                keyframe_id=slot, sign=1.0, slots=fresh)
-            if st.local_depths:
-                self.volume.integrate_local_depths(
-                    st.local_depths,
-                    [pose_used @ r for r in st.local_rel_poses],
-                    fresh, sign=1.0)
-            st.integrated_slots = np.concatenate(
-                [st.integrated_slots, fresh])
-            STOPWATCH.counts["disco_delta_chunks"] += len(fresh)
+            with STOPWATCH.time("integration_deferred"):
+                self._integrate_keyframe(st, sign=1.0, prefetched=fut)
 
     def _refresh_disco_prefetch(self) -> None:
         """Re-dispatch the newest keyframe's chunk-discovery prefetch
@@ -541,8 +506,8 @@ class ReconstructionPipeline:
             self.mesher.consume_counts(ready_only=not force)
         with STOPWATCH.time("consume_tex"):
             self._texture_consume(force=force)
-        with STOPWATCH.time("consume_disco_delta"):
-            self._consume_disco_delta(force=force)
+        with STOPWATCH.time("consume_deferred_int"):
+            self._consume_deferred_integration(force=force)
         with STOPWATCH.time("consume_gc"):
             pend, self._gc_pending = self._gc_pending, None
             if pend is not None:
@@ -596,16 +561,21 @@ class ReconstructionPipeline:
                     ang = float(np.arccos(np.clip(cosang, -1.0, 1.0)))
                     if (delta + ang * self.intr.far * 0.5
                             > 0.75 * self.volume.extent):
-                        self._disco_delta[finished_slot] = (
+                        # set went stale: re-discover at the current pose
+                        # and integrate NEXT cycle when the fetch lands
+                        self._deferred_integration[finished_slot] = \
                             self.volume.dispatch_discovery(
-                                jnp.asarray(st.depth),
-                                jnp.asarray(pose_now)),
-                            np.asarray(pose_now))
-                        STOPWATCH.counts["disco_pref_topup"] += 1
+                                jnp.asarray(st.depth), jnp.asarray(pose_now))
+                        pre = None
+                        STOPWATCH.counts["disco_pref_defer"] += 1
                     else:
                         STOPWATCH.counts["disco_pref_used"] += 1
-                with STOPWATCH.time("integration"):
-                    self._integrate_keyframe(st, sign=1.0, prefetched=pre)
+                else:
+                    STOPWATCH.counts["disco_pref_miss"] += 1
+                if finished_slot not in self._deferred_integration:
+                    with STOPWATCH.time("integration"):
+                        self._integrate_keyframe(st, sign=1.0,
+                                                 prefetched=pre)
         with STOPWATCH.time("meshing"):
             if async_mode:
                 self.mesher.update_meshes_async()
