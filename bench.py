@@ -91,6 +91,8 @@ def run(pipe_cls, config, packed, n_warm, timed_range):
     STOPWATCH.reset()   # drop warmup/compile time from per-stage averages
 
     stream = prefetch_frames((float(i), packed[i]) for i in timed_range)
+    print(f"[bench] timed pass begin ({time.strftime('%H:%M:%S')})",
+          file=sys.stderr)
     t0 = time.perf_counter()
     for ts, frame in stream:
         pipe.process_frame(frame, timestamp=ts)

@@ -95,6 +95,14 @@ class BAConfig:
     # dense [6K,6K] solve is already sub-millisecond on the MXU.
     schur_min_keyframes: int = 64
     schur_separator_budget: int = 128
+    # STATIC-SHAPE floors for the keyframe/edge buckets of the fused BA
+    # program: each new (kf_bucket, e_bucket) combination re-enters the
+    # compile/cache-load path mid-loop on the tunneled backend (~0.2-2 s
+    # on the tracking thread). A 32/128 floor covers typical room-scale
+    # sessions with one shape; the dense solve at 6·32=192 dims is still
+    # sub-ms on the MXU.
+    kf_bucket_floor: int = 32
+    edge_bucket_floor: int = 128
 
 
 @dataclasses.dataclass(frozen=True)
@@ -166,6 +174,16 @@ class TextureConfig:
     patch_project_budget: int = 384
     mrf_edge_weight: float = 0.5       # ref: TexMap.h:54-55
     mrf_sweeps: int = 12               # ICM sweeps (replaces mapmap tree solves)
+    # STATIC-SHAPE floors: the incremental texture program's node bucket
+    # and the keyframe image stack's initial capacity. Growing these
+    # mid-run changes jit shapes, and on the tunneled TPU backend every
+    # new shape costs a 0.15-2s compile-or-cache-load ON the fusion
+    # thread mid-loop (measured: 6 texture recompiles ≈3 s inside an
+    # 8 s bench). A 2048-node bucket adds ~nothing to the ICM sweep
+    # (projection is patch_project_budget-bound, compensation is
+    # pool-bound), and 64 stack rows are ~150 MB of HBM.
+    problem_bucket_floor: int = 2048
+    kf_stack_initial: int = 64
     max_labels: int = 16               # per-chunk candidate keyframe labels
     atlas_size: int = 13824            # ref: Atlas.h:29-30
     patch_scale: float = 4800.0        # PATCH_WIDTH = floor(4800·res) (Atlas.h:62-65)
@@ -204,6 +222,15 @@ class ParallelConfig:
     # 2: sensor-paced feeds (30 fps) have natural inter-frame gaps and
     # need less depth than the benchmark's as-fast-as-possible replay.
     pipeline_depth: int = 2
+    # upper bound on how far past pipeline_depth a frame may RIDE while
+    # its decision-stats fetch has not landed (0 → depth+1, the legacy
+    # bound). Under link contention the 43-float stats copy can land
+    # 100-250 ms after dispatch (measured: the tunnel serializes it
+    # behind the fusion cycle's bigger fetches); a deeper ride bound
+    # finalizes frames when their stats actually arrive instead of
+    # stalling the tracking thread at the bound. Stale-finalized frames
+    # re-anchor through the superseded-keyframe path as usual.
+    pipeline_max_ride: int = 0
     # fully asynchronous fusion cycles: each cycle only DISPATCHES device
     # work + starts device→host copies, and consumes the results (mesh
     # counts, texture outputs, GC probe) at the start of the NEXT cycle

@@ -23,7 +23,12 @@ Per-keyframe fusion cycle (= reference's map-thread tsdfFusion):
 from __future__ import annotations
 
 import dataclasses
+import os
+import sys
 from typing import Dict, List, Optional
+
+# env-gated trace of the per-frame stats fetch latency (perf debugging)
+_FETCH_TRACE = bool(os.environ.get("TF_FETCH_TRACE"))
 
 import jax.numpy as jnp
 import numpy as np
@@ -177,16 +182,19 @@ class ReconstructionPipeline:
         if self.config.parallel.pipelined_tracking:
             self._inflight.append(pending)
             depth = max(1, self.config.parallel.pipeline_depth)
+            ride = self.config.parallel.pipeline_max_ride
+            bound = max(depth + 1, ride if ride > 0 else 0)
             while len(self._inflight) > depth:
-                # ADAPTIVE depth: at the nominal depth, finalize only if
-                # the frame's decision stats have landed — otherwise let
-                # it ride one more frame (bounded at depth+1) instead of
-                # stalling the tracking thread on the link. The stale-ref
-                # re-anchoring path absorbs the occasional extra frame.
-                if (len(self._inflight) == depth + 1
-                        and self._inflight[0]["stats2"] is not None
-                        and hasattr(self._inflight[0]["stats2"], "done")
-                        and not self._inflight[0]["stats2"].done()):
+                # ADAPTIVE depth: past the nominal depth, finalize only
+                # frames whose decision stats have landed — let the rest
+                # ride (bounded at `bound`) instead of stalling the
+                # tracking thread on the contended link. The stale-ref
+                # re-anchoring path absorbs the extra frames.
+                head = self._inflight[0]
+                if (len(self._inflight) <= bound
+                        and head["stats2"] is not None
+                        and hasattr(head["stats2"], "done")
+                        and not head["stats2"].done()):
                     break
                 self._finalize_frame(self._inflight.pop(0))
         else:
@@ -275,6 +283,14 @@ class ReconstructionPipeline:
         if p["stats2"] is not None:
             with STOPWATCH.time("t_stats_sync"):
                 s2 = p["stats2"]
+                if _FETCH_TRACE and hasattr(s2, "t_created"):
+                    import time as _t
+                    now = _t.perf_counter()
+                    land = s2.t_landed
+                    print(f"[ftrace] frame={p.get('timestamp')} "
+                          f"age={(now - s2.t_created)*1e3:.1f}ms "
+                          f"landed={'%.1f' % ((land - s2.t_created)*1e3) if land else 'PENDING'}",
+                          file=sys.stderr)
                 s2 = s2.result() if hasattr(s2, "result") else np.asarray(s2)
             stats, stats_ff = s2[:21], s2[21:42]
             if blur_thresh > 0:

@@ -233,12 +233,13 @@ class GCSLAM:
         if n_kf < 2 or self.n_edges < 1:
             return
         from texturefusion_tpu.utils.stopwatch import STOPWATCH as _SW
-        bucket = _next_bucket(n_kf)
+        bucket = _next_bucket(n_kf, lo=self.config.ba.kf_bucket_floor)
         with _SW.time("t_ba_possync"):
             poses = jnp.asarray(self.poses[:bucket])
         active = jnp.asarray(np.arange(bucket) < n_kf)
         # edge slice in a static-size bucket
-        e_bucket = _next_bucket(self.n_edges, lo=16)
+        e_bucket = _next_bucket(self.n_edges,
+                                lo=self.config.ba.edge_bucket_floor)
 
         n_dev = self.config.parallel.n_devices
         multi = bool(n_dev and n_dev > 1 and len(jax.devices()) >= n_dev)

@@ -56,10 +56,12 @@ class TextureManager:
             max_labels=self.cfg.max_labels,
             potts_weight=self.cfg.mrf_potts_weight,
             edge_weight=self.cfg.mrf_edge_weight,
-            sweeps=self.cfg.mrf_sweeps)
+            sweeps=self.cfg.mrf_sweeps,
+            bucket_floor=self.cfg.problem_bucket_floor)
         self.atlas = Atlas(self.cfg, config.tsdf.voxel_resolution)
         self.chunk_tex: Dict[int, ChunkTexture] = {}
-        self.kf_stack = KeyframeStack(self.intr.height, self.intr.width)
+        self.kf_stack = KeyframeStack(self.intr.height, self.intr.width,
+                                      initial=self.cfg.kf_stack_initial)
         # device-resident per-chunk state (lazily sized to the pool)
         self._labels_dev = None      # [S+1] int32 keyframe label per slot
         self._stats_dev = None       # [S+1, STATS_W] f32 color moments

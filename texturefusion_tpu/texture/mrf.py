@@ -88,11 +88,13 @@ class ViewSelector:
     table and keeps warm-start labels (ref: TexMap labelstorage)."""
 
     def __init__(self, max_labels: int = 16, potts_weight: float = 1.0,
-                 edge_weight: float = 0.5, sweeps: int = 12):
+                 edge_weight: float = 0.5, sweeps: int = 12,
+                 bucket_floor: int = 64):
         self.max_labels = max_labels
         self.potts = potts_weight
         self.edge_w = edge_weight
         self.sweeps = sweeps
+        self.bucket_floor = bucket_floor
         # slot -> chosen keyframe id, −1 = none yet (persistent warm
         # start, ref: TexMap labelstorage). A dense array: the MRF
         # assembly reads/writes it with vectorized gathers.
@@ -118,8 +120,10 @@ class ViewSelector:
         sl = np.asarray(meshed, np.int64)
         n_real = len(sl)
         # pad node count to a bucket so the jitted solver compiles once
-        # per size class, not per call
-        n = 64
+        # per size class, not per call. The floor keeps the shape FIXED
+        # for whole runs (growing buckets re-enter the compile/cache-load
+        # path mid-loop on the tunneled backend — see TextureConfig)
+        n = max(64, self.bucket_floor)
         while n < n_real:
             n *= 2
         l = self.max_labels

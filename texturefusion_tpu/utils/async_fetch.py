@@ -38,12 +38,15 @@ class DeviceFetch:
     forever. A waiter thread's device_get gets the bytes ~1 RTT after
     compute, reliably."""
 
-    __slots__ = ("tree", "_event", "_result")
+    __slots__ = ("tree", "_event", "_result", "t_created", "t_landed")
 
     def __init__(self, tree: Any, background: bool = True):
         self.tree = tree
         self._event = None
         self._result = None
+        import time as _time
+        self.t_created = _time.perf_counter()
+        self.t_landed = None
         try:
             for leaf in jax.tree.leaves(tree):
                 copy = getattr(leaf, "copy_to_host_async", None)
@@ -67,6 +70,8 @@ class DeviceFetch:
         try:
             self._result = jax.device_get(self.tree)
         finally:
+            import time as _time
+            self.t_landed = _time.perf_counter()
             self._event.set()
 
     def result(self) -> Any:

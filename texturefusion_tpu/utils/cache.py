@@ -20,5 +20,9 @@ def enable_compilation_cache(path: str = DEFAULT_DIR) -> str:
 
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # cache EVERYTHING: a 0.3 s eager-op compile (scatter, broadcast...)
+    # through the compile tunnel is still worth persisting — dozens of
+    # them land inside the timed loop when shapes first appear
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     return path
