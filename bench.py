@@ -28,6 +28,9 @@ import os
 import sys
 import time
 
+if os.environ.get("TF_SWITCHINTERVAL"):
+    sys.setswitchinterval(float(os.environ["TF_SWITCHINTERVAL"]))
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
@@ -178,6 +181,15 @@ def main():
           file=sys.stderr)
     print(f"map error: {merr}", file=sys.stderr)
     print(STOPWATCH.report(), file=sys.stderr)
+    if os.environ.get("TF_FETCH_TRACE"):
+        from texturefusion_tpu.fusion.pipeline import _FETCH_LOG
+        lands = sorted(l for _, l in _FETCH_LOG[-100:] if l > 0)
+        pend = sum(1 for _, l in _FETCH_LOG[-100:] if l < 0)
+        if lands:
+            print(f"[ftrace] landings ms p10={lands[len(lands)//10]:.0f} "
+                  f"med={lands[len(lands)//2]:.0f} "
+                  f"p90={lands[9*len(lands)//10]:.0f} "
+                  f"pending_at_finalize={pend}", file=sys.stderr)
     if pipe.stats["reintegrations"] == 0:
         print("WARNING: reintegration path not exercised", file=sys.stderr)
 

@@ -80,7 +80,11 @@ def generate(out_dir: str, n_frames: int = 120, seed: int = 11):
 
     camera = CameraConfig(**FR1_CAMERA)
     intr = cam.Intrinsics.from_config(camera)
-    poses = synthetic.loop_trajectory(n_frames, radius=1.5)
+    # keep per-frame motion at the nominal 120-frame cadence: short runs
+    # render a short ARC of the loop, not the whole 360° compressed into
+    # n_frames (36°/frame at n=10 is untrackable by design, not a proxy)
+    base = max(n_frames, 120)
+    poses = synthetic.loop_trajectory(base, radius=1.5)[:n_frames]
     scene = synthetic.BoxRoomScene(room_min=(-2.6, -1.5, -2.6),
                                    room_max=(2.6, 1.5, 2.6))
     depths, rgbs = synthetic.render_sequence(scene, intr, poses)

@@ -261,9 +261,14 @@ class TSDFVolume:
 
     @staticmethod
     def _bucket_slots(slots: np.ndarray, pad_value: int,
-                      lo: int = 64) -> np.ndarray:
+                      lo: int = 256) -> np.ndarray:
         """Pad a slot list to a power-of-two bucket so jitted consumers
-        compile once per size class, not once per distinct count."""
+        compile once per size class, not once per distinct count.
+        lo=256 makes the common case (alloc/GC/drop batches of ≤256) a
+        SINGLE shape for the whole session: with lo=64 the 64→128→256
+        ladder re-entered the compile/cache-load path mid-run on the
+        fusion thread (~0.1-0.35 s per new shape through the tunnel —
+        the r4 gc_release/gcc_drop spikes)."""
         b = lo
         while b < len(slots):
             b *= 2

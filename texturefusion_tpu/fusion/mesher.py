@@ -158,7 +158,10 @@ class IncrementalMesher:
         nbr = self._neighbor_slots(slots)
         origins = vol.ids[slots].astype(np.float32) * vol.extent
         n_real = len(slots)
-        bucket = 32
+        # 256-floor: one mesh_chunks_pooled shape covers nearly every
+        # cycle (the 32→64→128 ladder re-compiled/cache-loaded the heavy
+        # meshing program mid-run; device cost of the padding is ~0.3 ms)
+        bucket = 256
         while bucket < n_real:
             bucket *= 2
         pad = bucket - n_real

@@ -27,8 +27,11 @@ import os
 import sys
 from typing import Dict, List, Optional
 
-# env-gated trace of the per-frame stats fetch latency (perf debugging)
+# env-gated trace of the per-frame stats fetch latency (perf debugging):
+# (age at finalize, landing latency | -1 if still pending) tuples, dumped
+# by bench.py at end of run
 _FETCH_TRACE = bool(os.environ.get("TF_FETCH_TRACE"))
+_FETCH_LOG: list = []
 
 import jax.numpy as jnp
 import numpy as np
@@ -287,10 +290,9 @@ class ReconstructionPipeline:
                     import time as _t
                     now = _t.perf_counter()
                     land = s2.t_landed
-                    print(f"[ftrace] frame={p.get('timestamp')} "
-                          f"age={(now - s2.t_created)*1e3:.1f}ms "
-                          f"landed={'%.1f' % ((land - s2.t_created)*1e3) if land else 'PENDING'}",
-                          file=sys.stderr)
+                    _FETCH_LOG.append((
+                        (now - s2.t_created) * 1e3,
+                        (land - s2.t_created) * 1e3 if land else -1.0))
                 s2 = s2.result() if hasattr(s2, "result") else np.asarray(s2)
             stats, stats_ff = s2[:21], s2[21:42]
             if blur_thresh > 0:

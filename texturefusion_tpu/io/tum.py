@@ -96,9 +96,14 @@ def load_tum_sequence(root: str, camera: Optional[CameraConfig] = None) -> TumSe
         # reference convention: col1=rgb path, col3=depth path
         rgb_files.append(os.path.join(root, parts[1]))
         depth_files.append(os.path.join(root, parts[3]))
-    if camera is None:
-        calib = os.path.join(root, "calib.txt")
-        camera = _parse_calib(calib) if os.path.exists(calib) else CameraConfig()
+    # the on-disk calib ALWAYS wins for dataset runs (ref:
+    # BasicAPI.cpp:1108-1133 reads calib.txt unconditionally); the
+    # passed camera is only a fallback for calib-less directories.
+    calib = os.path.join(root, "calib.txt")
+    if os.path.exists(calib):
+        camera = _parse_calib(calib)
+    elif camera is None:
+        camera = CameraConfig()
     gt_ts = gt_poses = None
     gt_path = os.path.join(root, "groundtruth.txt")
     if os.path.exists(gt_path):

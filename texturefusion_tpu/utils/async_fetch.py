@@ -38,7 +38,8 @@ class DeviceFetch:
     forever. A waiter thread's device_get gets the bytes ~1 RTT after
     compute, reliably."""
 
-    __slots__ = ("tree", "_event", "_result", "t_created", "t_landed")
+    __slots__ = ("tree", "_event", "_result", "t_created", "t_started",
+                 "t_landed")
 
     def __init__(self, tree: Any, background: bool = True):
         self.tree = tree
@@ -46,6 +47,7 @@ class DeviceFetch:
         self._result = None
         import time as _time
         self.t_created = _time.perf_counter()
+        self.t_started = None
         self.t_landed = None
         try:
             for leaf in jax.tree.leaves(tree):
@@ -67,10 +69,11 @@ class DeviceFetch:
             t.start()
 
     def _bg_fetch(self) -> None:
+        import time as _time
+        self.t_started = _time.perf_counter()
         try:
             self._result = jax.device_get(self.tree)
         finally:
-            import time as _time
             self.t_landed = _time.perf_counter()
             self._event.set()
 
