@@ -93,16 +93,44 @@ def run(pipe_cls, config, packed, n_warm, timed_range):
     from texturefusion_tpu.utils.stopwatch import STOPWATCH
     STOPWATCH.reset()   # drop warmup/compile time from per-stage averages
 
-    stream = prefetch_frames((float(i), packed[i]) for i in timed_range)
+    stream = prefetch_frames(((float(i), packed[i]) for i in timed_range),
+                             keep_host=True)
     print(f"[bench] timed pass begin ({time.strftime('%H:%M:%S')})",
           file=sys.stderr)
+    probe_stop, probe_lat = [], []
+    if os.environ.get("TF_FETCH_TRACE"):
+        # independent device-stream probe: a tiny jit on a cached input,
+        # dispatched every ~50 ms — its dispatch→ready time measures the
+        # device-stream backlog seen by NEW work, with no h2d dependency
+        import threading
+
+        @jax.jit
+        def _tiny(a):
+            return a * 1.0001
+
+        seed_arr = jnp.ones(64, jnp.float32)
+        jax.block_until_ready(_tiny(seed_arr))
+
+        def _probe():
+            while not probe_stop:
+                tp = time.perf_counter()
+                jax.block_until_ready(_tiny(seed_arr))
+                probe_lat.append((time.perf_counter() - tp) * 1e3)
+                time.sleep(0.05)
+        threading.Thread(target=_probe, daemon=True).start()
     t0 = time.perf_counter()
-    for ts, frame in stream:
-        pipe.process_frame(frame, timestamp=ts)
+    for ts, frame, host in stream:
+        pipe.process_frame(frame, timestamp=ts, host_packed=host[1])
     pipe.flush_tracking()
     pipe._drain_fusion()
     jax.block_until_ready(pipe.volume.batch.sdf)
     dt = time.perf_counter() - t0
+    probe_stop.append(True)
+    if probe_lat:
+        pl = sorted(probe_lat)
+        print(f"[ftrace] stream-probe ms p10={pl[len(pl)//10]:.0f} "
+              f"med={pl[len(pl)//2]:.0f} p90={pl[9*len(pl)//10]:.0f} "
+              f"n={len(pl)}", file=sys.stderr)
     return pipe, len(timed_range) / dt
 
 
@@ -165,6 +193,15 @@ def main():
     # batch buckets, texture patch buckets)
     warm, _ = run(TexturedPipeline, config, packed, 0, range(n_frames))
     del warm
+    # the warm pipeline holds ~10^5 device buffers in reference CYCLES
+    # (pipeline↔volume↔mesher backrefs): without an explicit collect they
+    # are freed by the cycle collector DURING the timed pass, and the
+    # trickle of delete RPCs through the tunnel backlogs the device
+    # stream ~150 ms (measured by the stream probe)
+    import gc as _gc
+    _gc.collect()
+    jax.block_until_ready(jnp.zeros(8).sum())
+    time.sleep(1.0)
 
     pipe, fps = run(TexturedPipeline, config, packed, n_warm,
                     range(n_warm, n_frames))
@@ -190,6 +227,12 @@ def main():
                   f"med={lands[len(lands)//2]:.0f} "
                   f"p90={lands[9*len(lands)//10]:.0f} "
                   f"pending_at_finalize={pend}", file=sys.stderr)
+        from texturefusion_tpu.fusion.pipeline import _COMPUTE_LOG
+        comp = sorted(_COMPUTE_LOG[-100:])
+        if comp:
+            print(f"[ftrace] compute-ready ms p10={comp[len(comp)//10]:.0f} "
+                  f"med={comp[len(comp)//2]:.0f} "
+                  f"p90={comp[9*len(comp)//10]:.0f}", file=sys.stderr)
     if pipe.stats["reintegrations"] == 0:
         print("WARNING: reintegration path not exercised", file=sys.stderr)
 

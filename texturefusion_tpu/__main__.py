@@ -110,9 +110,11 @@ def main(argv=None):
 
     t0 = time.time()
     n = 0
-    for item in prefetch_frames(sensor.frames()):
-        ts, depth, rgb = item
-        pipe.process_frame(depth, rgb, timestamp=ts)
+    for item in prefetch_frames(sensor.frames(), keep_host=True):
+        ts, depth, rgb, host = item
+        pipe.process_frame(depth, rgb, timestamp=ts,
+                           host_packed=host[1] if hasattr(host[1], "shape")
+                           else None)
         n += 1
         if args.max_frames and n >= args.max_frames:
             break

@@ -32,6 +32,7 @@ from typing import Dict, List, Optional
 # by bench.py at end of run
 _FETCH_TRACE = bool(os.environ.get("TF_FETCH_TRACE"))
 _FETCH_LOG: list = []
+_COMPUTE_LOG: list = []   # dispatch→compute-ready ms (trace only)
 
 import jax.numpy as jnp
 import numpy as np
@@ -165,7 +166,8 @@ class ReconstructionPipeline:
 
     def process_frame(self, depth_raw: jnp.ndarray,
                       rgb: Optional[jnp.ndarray] = None,
-                      timestamp: float = 0.0) -> None:
+                      timestamp: float = 0.0,
+                      host_packed: Optional[np.ndarray] = None) -> None:
         """Track one frame; fuse at keyframe boundaries
         (ref: main.cpp:102-211 per-frame loop).
 
@@ -180,8 +182,15 @@ class ReconstructionPipeline:
         computes — the ~24 ms dispatch→sync roundtrip and fusion-queue
         contention hide behind the next frame's device work. (The
         reference hides the same latency with its tracking∥map threads,
-        MobileFusion.cpp:92-112.)"""
+        MobileFusion.cpp:92-112.)
+
+        `host_packed`: the HOST copy of the packed frame, if the caller
+        kept one (io.prefetch keep_host). The keyframe branch then takes
+        its atlas-blit rgb from these bytes instead of downloading back
+        the very pixels the host just uploaded (saves a ~1 MB d2h + one
+        ~23 ms stream stall per keyframe)."""
         pending = self._dispatch_frame(depth_raw, rgb, timestamp)
+        pending["host_packed"] = host_packed
         if self.config.parallel.pipelined_tracking:
             self._inflight.append(pending)
             depth = max(1, self.config.parallel.pipeline_depth)
@@ -202,6 +211,17 @@ class ReconstructionPipeline:
                 self._finalize_frame(self._inflight.pop(0))
         else:
             self._finalize_frame(pending)
+        # per-frame TRANSFER-WINDOW flush: every deferred fetch queued
+        # since the last frame (mesh counts, GC/quality probes, texture
+        # outputs, discovery ids, promotion probes) launches in ONE
+        # burst here — co-issued transfers share a single ~23 ms
+        # device-stream stall (measured: 1 fetch ≈ 23 ms stall, 10
+        # co-issued ≈ 26 ms) instead of paying one stall per call site.
+        # Deliberately NOT fused with the stats fetch above: sharing
+        # that window delayed the latency-critical stats landing behind
+        # the bulk payloads (+10 ms t_stats_sync).
+        from texturefusion_tpu.utils.async_fetch import flush_fetches
+        flush_fetches()
 
     def flush_tracking(self) -> None:
         """Finalize the in-flight pipelined frames, if any."""
@@ -253,6 +273,15 @@ class ReconstructionPipeline:
                 self._kp_prev = kp
                 # absorb the fetch RTT on the helper thread
                 from texturefusion_tpu.utils.async_fetch import fetch_async
+                if _FETCH_TRACE:
+                    import threading as _th
+                    import time as _tm
+                    dev_val, t_disp = stats2, _tm.perf_counter()
+
+                    def _probe(v=dev_val, t0=t_disp):
+                        jax.block_until_ready(v)
+                        _COMPUTE_LOG.append((_tm.perf_counter() - t0) * 1e3)
+                    _th.Thread(target=_probe, daemon=True).start()
                 stats2 = fetch_async(stats2)
             else:
                 bundle = preprocess.preprocess_bundle(
@@ -310,18 +339,27 @@ class ReconstructionPipeline:
 
         if frame.is_keyframe:
             rgb_u8 = (rgb * 255).astype(jnp.uint8)
-            try:
-                # atlas blits need the host copy ~1 cycle later; start
-                # the ~1 MB transfer now so rgb_np() finds it landed
-                rgb_u8.copy_to_host_async()
-            except Exception:
-                pass
+            hp = p.get("host_packed")
+            if hp is not None and hp.ndim == 3 and hp.shape[-1] == 5:
+                # atlas-blit rgb from the retained HOST packed bytes —
+                # bit-identical to rgb_u8 (preprocess passes raw rgb
+                # through), no 1 MB download of pixels the host uploaded
+                host_rgb = np.ascontiguousarray(hp[..., 2:5])
+            else:
+                host_rgb = None
+                try:
+                    # atlas blits need the host copy ~1 cycle later;
+                    # start the ~1 MB transfer now so rgb_np() is landed
+                    rgb_u8.copy_to_host_async()
+                except Exception:
+                    pass
             self.kf_states[frame.keyframe_slot] = KeyframeFusionState(
                 kf_slot=frame.keyframe_slot,
                 frame_index=frame.index,
                 depth=depth_refined,                      # device-resident
                 rgb=rgb_u8,                               # device-resident
                 quality=quality,                          # device-resident
+                rgb_host=host_rgb,
                 local_depths=[], local_rel_poses=[])
             self.stats["keyframes"] += 1
             # previous keyframe is now finished → fusion cycle

@@ -14,15 +14,20 @@ from typing import Iterable, Iterator, Tuple
 import jax
 
 
-def prefetch_frames(frames: Iterable[Tuple], depth_first: bool = True
-                    ) -> Iterator[Tuple]:
+def prefetch_frames(frames: Iterable[Tuple], depth_first: bool = True,
+                    keep_host: bool = False) -> Iterator[Tuple]:
     """Wrap a (timestamp, depth[, rgb]) iterable; yields the same tuples
-    with array elements already on device, one transfer ahead."""
+    with array elements already on device, one transfer ahead.
+
+    keep_host=True appends the ORIGINAL (host) tuple as a final element:
+    consumers that need host bytes later (keyframe rgb for atlas blits)
+    read them from RAM instead of downloading back what was uploaded."""
     it = iter(frames)
 
     def upload(item):
-        return tuple(jax.device_put(x) if hasattr(x, "shape") else x
-                     for x in item)
+        dev = tuple(jax.device_put(x) if hasattr(x, "shape") else x
+                    for x in item)
+        return dev + (item,) if keep_host else dev
 
     try:
         pending = upload(next(it))
