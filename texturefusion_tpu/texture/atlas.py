@@ -37,7 +37,12 @@ class Atlas:
         self.size = cfg.atlas_size
         self.grid = self.size // self.patch_size
         self.capacity = self.grid * self.grid
-        self.image = np.zeros((self.size, self.size, 3), np.uint8)
+        # ROW-LAZY image buffer: slots allocate low indices (top rows)
+        # first, so only the used rows are ever materialized. A full
+        # 13824² buffer is 573 MB of RAM and minutes of PNG encoding at
+        # export; a typical room-scale session uses ~10-20 patch rows.
+        self._rows = self.patch_size * 4
+        self.image = np.zeros((self._rows, self.size, 3), np.uint8)
         self.patches: Dict[int, PatchRecord] = {}   # chunk slot -> record
         self.free = list(range(self.capacity - 1, -1, -1))
         self.hot_region: Optional[Tuple[int, int, int, int]] = None
@@ -79,9 +84,21 @@ class Atlas:
         tile = cv2.resize(roi, (self.patch_size, self.patch_size),
                           interpolation=cv2.INTER_LINEAR)
         ox, oy = self._slot_origin(rec.slot_index)
+        self._ensure_rows(oy + self.patch_size)
         self.image[oy:oy + self.patch_size, ox:ox + self.patch_size] = tile
         self._grow_hot(ox, oy)
         return rec
+
+    def _ensure_rows(self, rows: int) -> None:
+        if rows <= self._rows:
+            return
+        new_rows = self._rows
+        while new_rows < rows:
+            new_rows *= 2
+        new_rows = min(new_rows, self.size)
+        grown = np.zeros((new_rows, self.size, 3), np.uint8)
+        grown[: self._rows] = self.image
+        self._rows, self.image = new_rows, grown
 
     def _grow_hot(self, ox: int, oy: int) -> None:
         p = self.patch_size
@@ -124,7 +141,22 @@ class Atlas:
         import cv2
         os.makedirs(out_dir, exist_ok=True)
         png = os.path.join(out_dir, f"{name}.png")
-        cv2.imwrite(png, cv2.cvtColor(self.image, cv2.COLOR_RGB2BGR))
+        # export only the USED rows (patch slots fill top rows first) and
+        # rescale the OBJ v coordinates to the cropped height — a full
+        # atlas_size² PNG encode took minutes for a mostly-empty image
+        h_used = self._rows
+        if self.patches:
+            h_used = max(self._slot_origin(r.slot_index)[1]
+                         + self.patch_size for r in self.patches.values())
+        h_used = max(min(h_used, self._rows), self.patch_size)
+        cv2.imwrite(png, cv2.cvtColor(
+            np.ascontiguousarray(self.image[:h_used]), cv2.COLOR_RGB2BGR))
+        if len(atlas_uvs):
+            atlas_uvs = atlas_uvs.copy()
+            # uv v was normalized against the full logical size:
+            # py = 1 - v in [0, h_used/size] → renormalize to h_used
+            atlas_uvs[:, 1] = 1.0 - (1.0 - atlas_uvs[:, 1]) \
+                * (self.size / h_used)
         mtl_path = os.path.join(out_dir, f"{name}.mtl")
         with open(mtl_path, "w") as f:
             f.write(f"newmtl textured\nKa 1 1 1\nKd 1 1 1\nKs 0 0 0\n"
