@@ -128,8 +128,17 @@ class ViewSelector:
             n *= 2
         l = self.max_labels
 
-        q = np.where(obs_mask[sl] & (obs_q[sl] > 0), obs_q[sl],
-                     -np.inf)                                   # [S, K]
+        # column-slice the dense observation table to the ACTIVE keyframe
+        # range (bucketed): the table is allocated at max_keyframes=512
+        # columns but a session has ~newest_kf of them — the argpartition/
+        # sort below over [S, 512] burned ~9 ms of GIL-held numpy per
+        # cycle on the 2-core host, starving the tracking thread
+        kcap = 64
+        while kcap < newest_kf + 1:
+            kcap *= 2
+        kcap = min(kcap, obs_q.shape[1])
+        qs, ms = obs_q[sl, :kcap], obs_mask[sl, :kcap]
+        q = np.where(ms & (qs > 0), qs, -np.inf)                # [S, K]
         k_total = q.shape[1]
         l_eff = min(l, k_total)
         # top-l labels per chunk by quality (argpartition + sort of l)
